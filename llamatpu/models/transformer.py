@@ -1,0 +1,190 @@
+"""The single transformer forward graph for ALL supported families.
+
+Replaces the reference's 8 per-family forward passes (InferenceCore.java:
+forwardJava/forwardJavaDevstral/forwardJavaQwen2MoE/forwardJavaQwen2/
+forwardJavaQwen3/forwardJavaPhi3/forwardGranite) and its ~90 per-family×quant×mode
+GPU plan/layer/kernel classes (SURVEY.md §2.5-2.6) with ONE config-driven graph:
+
+- prefill and decode are the same function over a [B, T] token window writing a
+  preallocated KV cache at `pos` (T=1 decode ≡ the reference's single-token
+  plan; T=chunk ≡ its batch-prefill MMA plan — on TPU the batched GEMM path is
+  simply the default, SURVEY.md §7.1)
+- layers run under jax.lax.scan over stacked weights: one XLA program per step
+  instead of N+2 TaskGraph dispatches (TornadoVMMasterPlanSingleToken.java:68-96)
+- family deltas (qkv bias, per-head q/k norm, µP scales, MoE, head-dim
+  decoupling, RoPE layout) are config fields, see models/config.py
+
+Numerics follow the reference CPU path (the project's de-facto oracle,
+SURVEY.md §3.2): f32 softmax/norm reductions, f32 matmul accumulation.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from llamatpu.models.config import ModelConfig
+from llamatpu.models.weights import QTensor
+from llamatpu.ops.matmul import matmul
+from llamatpu.ops.rmsnorm import rmsnorm
+from llamatpu.ops.rope import apply_rope
+
+
+@partial(jax.tree_util.register_dataclass, data_fields=["k", "v"], meta_fields=[])
+@dataclass
+class KVCache:
+    """Preallocated per-layer KV cache (reference: State.keyCache/valueCache,
+    inference/state/State.java:44-45, flattened [L][ctx*kvDim]; here
+    [L, B, ctx, n_kv, head_dim] so attention indexes heads natively)."""
+
+    k: jax.Array  # [L, B, S, n_kv, head_dim]
+    v: jax.Array  # [L, B, S, n_kv, v_head_dim]
+
+    @property
+    def batch(self) -> int:
+        return self.k.shape[1]
+
+    @property
+    def length(self) -> int:
+        return self.k.shape[2]
+
+
+def init_cache(cfg: ModelConfig, batch: int, dtype=jnp.bfloat16, length: int | None = None) -> KVCache:
+    s = length or cfg.context_length
+    return KVCache(
+        k=jnp.zeros((cfg.n_layers, batch, s, cfg.n_kv_heads, cfg.head_dim), dtype),
+        v=jnp.zeros((cfg.n_layers, batch, s, cfg.n_kv_heads, cfg.v_head_dim), dtype),
+    )
+
+
+def _attention(cfg: ModelConfig, q, kc, vc, pos, t_len):
+    """Masked GQA attention over the full cache.
+
+    q: [B, T, KV, G, hd]; kc: [B, S, KV, hd]; vc: [B, S, KV, vhd].
+    Valid keys for query t: absolute s <= pos + t (reference loops t=0..position,
+    InferenceCore.java:108-137). f32 scores/softmax.
+    """
+    scale = cfg.attn_score_scale
+    scores = jnp.einsum("btkgh,bskh->bkgts", q.astype(jnp.float32), kc.astype(jnp.float32)) * scale
+    s_len = kc.shape[1]
+    t_idx = jnp.arange(t_len)[:, None]
+    s_idx = jnp.arange(s_len)[None, :]
+    mask = s_idx <= (pos + t_idx)  # [T, S]
+    scores = jnp.where(mask[None, None, None], scores, -jnp.inf)
+    att = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bkgts,bskv->btkgv", att, vc.astype(jnp.float32))
+    return out  # [B, T, KV, G, vhd] f32
+
+
+def _dense_ffn(cfg: ModelConfig, h, lw, impl):
+    gate = matmul(lw["w1"], h, impl)
+    up = matmul(lw["w3"], h, impl)
+    act = jax.nn.silu(gate.astype(jnp.float32)).astype(h.dtype) * up
+    return matmul(lw["w2"], act, impl)
+
+
+def _index_qtensor(w, i):
+    if isinstance(w, QTensor):
+        return QTensor(w.qs[i], w.scales[i], w.kind)
+    return w[i]
+
+
+def _moe_ffn(cfg: ModelConfig, h, lw, impl):
+    """Qwen2-MoE FFN: softmax-over-all-experts router, top-k WITHOUT
+    renormalization (norm_topk_prob=false), plus an always-on shared expert
+    gated by sigmoid(shared_gate_inp · h) (InferenceCore.java:366-415)."""
+    b, t, d = h.shape
+    hf = h.reshape(b * t, d)
+    router_logits = matmul(lw["router"], hf, impl).astype(jnp.float32)  # [N, E]
+    probs = jax.nn.softmax(router_logits, axis=-1)
+    top_w, top_i = jax.lax.top_k(probs, cfg.n_experts_used)  # no renorm
+
+    def one_token(hv, ws, ids):
+        def one_expert(carry, ji):
+            w_j, i_j = ji
+            gate = matmul(_index_qtensor(lw["gate_exps"], i_j), hv, impl)
+            up = matmul(_index_qtensor(lw["up_exps"], i_j), hv, impl)
+            act = jax.nn.silu(gate.astype(jnp.float32)).astype(hv.dtype) * up
+            down = matmul(_index_qtensor(lw["down_exps"], i_j), act, impl)
+            return carry + w_j.astype(jnp.float32) * down.astype(jnp.float32), None
+
+        out, _ = jax.lax.scan(one_expert, jnp.zeros((d,), jnp.float32), (ws, ids))
+        return out
+
+    routed = jax.vmap(one_token)(hf, top_w, top_i).astype(h.dtype)
+
+    sg = matmul(lw["shared_gate"], hf, impl)
+    su = matmul(lw["shared_up"], hf, impl)
+    sact = jax.nn.silu(sg.astype(jnp.float32)).astype(h.dtype) * su
+    sdown = matmul(lw["shared_down"], sact, impl)
+    gate_score = jnp.einsum("nd,d->n", hf.astype(jnp.float32), lw["shared_gate_inp"].astype(jnp.float32))
+    shared_w = jax.nn.sigmoid(gate_score)[:, None]
+    out = routed.astype(jnp.float32) + shared_w * sdown.astype(jnp.float32)
+    return out.astype(h.dtype).reshape(b, t, d)
+
+
+def forward_tokens(cfg: ModelConfig, weights, tokens, cache: KVCache, pos, impl="xla",
+                   last_logit_only=False):
+    """Run T tokens at absolute positions pos..pos+T-1 through the full model.
+
+    tokens: int32 [B, T]; pos: scalar int32; returns (logits f32, new cache).
+    logits: [B, T, vocab] or [B, vocab] when last_logit_only (decode/prefill-tail).
+    """
+    b, t = tokens.shape
+    x = weights["tok_emb"][tokens]  # [B, T, D]
+    if cfg.embedding_scale != 1.0:
+        x = (x.astype(jnp.float32) * cfg.embedding_scale).astype(x.dtype)
+
+    positions = pos + jnp.arange(t)
+    cos = weights["rope_cos"][positions][None, :, None, :]  # [1, T, 1, half]
+    sin = weights["rope_sin"][positions][None, :, None, :]
+
+    kv, g = cfg.n_kv_heads, cfg.gqa_groups
+
+    def layer_fn(x, per_layer):
+        lw, kc, vc = per_layer
+        h = rmsnorm(x, lw["attn_norm"], cfg.rms_norm_eps)
+        q = matmul(lw["wq"], h, impl)
+        k = matmul(lw["wk"], h, impl)
+        v = matmul(lw["wv"], h, impl)
+        if cfg.qkv_bias:
+            q = q + lw["q_bias"].astype(q.dtype)
+            k = k + lw["k_bias"].astype(k.dtype)
+            v = v + lw["v_bias"].astype(v.dtype)
+        q = q.reshape(b, t, cfg.n_heads, cfg.head_dim)
+        k = k.reshape(b, t, kv, cfg.head_dim)
+        v = v.reshape(b, t, kv, cfg.v_head_dim)
+        if cfg.qk_norm:
+            q = rmsnorm(q, lw["q_norm"], cfg.rms_norm_eps)
+            k = rmsnorm(k, lw["k_norm"], cfg.rms_norm_eps)
+        q = apply_rope(q, cos, sin, cfg.rope_style)
+        k = apply_rope(k, cos, sin, cfg.rope_style)
+
+        kc = jax.lax.dynamic_update_slice(kc, k.astype(kc.dtype), (0, pos, 0, 0))
+        vc = jax.lax.dynamic_update_slice(vc, v.astype(vc.dtype), (0, pos, 0, 0))
+
+        attn = _attention(cfg, q.reshape(b, t, kv, g, cfg.head_dim), kc, vc, pos, t)
+        attn = attn.reshape(b, t, kv * g * cfg.v_head_dim).astype(x.dtype)
+        attn_out = matmul(lw["wo"], attn, impl)
+        if cfg.residual_scale != 1.0:
+            attn_out = (attn_out.astype(jnp.float32) * cfg.residual_scale).astype(x.dtype)
+        x = x + attn_out
+
+        h2 = rmsnorm(x, lw["ffn_norm"], cfg.rms_norm_eps)
+        ffn = _moe_ffn(cfg, h2, lw, impl) if cfg.is_moe else _dense_ffn(cfg, h2, lw, impl)
+        if cfg.residual_scale != 1.0:
+            ffn = (ffn.astype(jnp.float32) * cfg.residual_scale).astype(x.dtype)
+        x = x + ffn
+        return x, (kc, vc)
+
+    x, (k_new, v_new) = jax.lax.scan(layer_fn, x, (weights["layers"], cache.k, cache.v))
+
+    if last_logit_only:
+        x = x[:, -1]
+    x = rmsnorm(x, weights["final_norm"], cfg.rms_norm_eps)
+    logits = matmul(weights["wcls"], x, impl).astype(jnp.float32)
+    if cfg.logit_scale != 1.0:
+        logits = logits * cfg.logit_scale
+    return logits, KVCache(k_new, v_new)

@@ -1,0 +1,83 @@
+"""Weight containers.
+
+Quantized weights are kept as depacked pairs (int8 values, f16 block scales) —
+the TPU-native layout for GGUF's Q8_0/Q4_0 scheme (34/18-byte interleaved blocks
+make sense for byte-addressable GPU buffers, reference tensor/tornado/*.java,
+but TPU lanes want contiguous same-dtype arrays; SURVEY.md §7.1). A QTensor of
+logical shape [out, in] stores:
+
+    qs:     int8  [..., out, in]          (Q4_0 values depacked to int8 in [-8, 7])
+    scales: f16   [..., out, in // 32]    (per-32-element ggml block scales)
+
+Leading batch dims stack layers ([L, ...]) or experts ([L, E, ...]) so the whole
+transformer scans over one pytree (replaces the reference's per-layer TaskGraphs,
+TornadoVMMasterPlan*.java).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BLOCK = 32  # ggml Q8_0/Q4_0 block size
+
+
+@partial(jax.tree_util.register_dataclass, data_fields=["qs", "scales"], meta_fields=["kind"])
+@dataclass
+class QTensor:
+    """Block-quantized tensor: int8 values + per-32 f16 scales."""
+
+    qs: jax.Array      # int8 [..., out, in]
+    scales: jax.Array  # float16 [..., out, in // 32]
+    kind: str = "q8_0"  # "q8_0" | "q4_0" (affects only provenance/bit width)
+
+    @property
+    def shape(self):
+        return self.qs.shape
+
+    def dequant(self, dtype=jnp.float32) -> jax.Array:
+        """Materialize the full-precision matrix (XLA fallback path)."""
+        s = jnp.repeat(self.scales.astype(dtype), BLOCK, axis=-1)
+        return self.qs.astype(dtype) * s
+
+
+def qtensor_from_gguf(ggml_type, raw: np.ndarray, shape: tuple[int, ...]) -> QTensor:
+    """Build a QTensor from raw GGUF block bytes (Q8_0 or Q4_0)."""
+    from llamatpu.gguf import quants
+    from llamatpu.gguf.ggml_type import GGMLType
+
+    n = int(np.prod(shape))
+    if ggml_type == GGMLType.Q8_0:
+        qs, scales = quants.q8_0_views(raw, n)
+        kind = "q8_0"
+    elif ggml_type == GGMLType.Q4_0:
+        qs, scales = quants.q4_0_views(raw, n)
+        kind = "q4_0"
+    else:
+        raise ValueError(f"qtensor_from_gguf: {ggml_type!r}")
+    qs = np.ascontiguousarray(qs).reshape(*shape[:-1], shape[-1])
+    scales = np.ascontiguousarray(scales).reshape(*shape[:-1], shape[-1] // BLOCK)
+    return QTensor(jnp.asarray(qs), jnp.asarray(scales), kind)
+
+
+def quantize_array_q8_0(arr: np.ndarray) -> QTensor:
+    """Quantize a float array (numpy) to a Q8_0 QTensor (ggml-order encode)."""
+    from llamatpu.gguf import quants
+    from llamatpu.gguf.ggml_type import GGMLType
+
+    raw = quants.quantize_q8_0(np.asarray(arr, dtype=np.float32).reshape(-1))
+    return qtensor_from_gguf(GGMLType.Q8_0, raw, tuple(arr.shape))
+
+
+def stack_qtensors(ts: list[QTensor]) -> QTensor:
+    return QTensor(jnp.stack([t.qs for t in ts]), jnp.stack([t.scales for t in ts]), ts[0].kind)
+
+
+def stack_weights(ws: list) -> object:
+    """Stack per-layer weights (arrays or QTensors) along a new leading axis."""
+    if isinstance(ws[0], QTensor):
+        return stack_qtensors(ws)
+    return jnp.stack(ws)

@@ -1,0 +1,43 @@
+"""Projection matmuls over plain or block-quantized weights.
+
+This is the TPU replacement for the reference's GEMV/GEMM kernel zoo
+(matrixVectorGeneric*/fusedQKVMatmul*/gemmMMA* — SURVEY.md §2.6): one entry
+point that contracts activations [..., in] against weights stored [out, in]
+(GGUF row-major convention), with the quantized path either
+
+- "xla": dequantize int8->f32/bf16 inline and let XLA fuse + tile onto the MXU
+  (weights are re-materialized at 2-4 bytes/elem of HBM traffic), or
+- "pallas": fused dequant+matmul kernels (ops/pallas_matmul.py) that read int8
+  straight from HBM — the bandwidth-optimal decode path.
+
+Accumulation is always float32 (preferred_element_type), matching the
+reference's FP32-accumulate discipline.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from llamatpu.models.weights import QTensor
+
+
+def matmul(w, x: jnp.ndarray, impl: str = "xla") -> jnp.ndarray:
+    """y[..., out] = x[..., in] @ W[out, in]^T.
+
+    `w` is a QTensor or an array; extra leading dims on `w` are not allowed here
+    (layer stacking is handled by lax.scan slicing before the call).
+    """
+    if isinstance(w, QTensor):
+        if impl == "pallas":
+            from llamatpu.ops.pallas_matmul import quant_matmul_pallas
+
+            return quant_matmul_pallas(w, x)
+        wd = w.dequant(jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32)
+    else:
+        wd = w
+    y = jax.lax.dot_general(
+        x, wd,
+        dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return y.astype(x.dtype)
