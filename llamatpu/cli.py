@@ -1,0 +1,136 @@
+"""llamatpu CLI — single entry point for run/serve/bench.
+
+Flag surface mirrors the reference's launcher + Options
+(llama-tornado:446-657, Options.java:75-139): --model, --prompt/-p,
+--system-prompt/-sp, --interactive/-i, --instruct, --temperature/-temp,
+--top-p, --seed, --max-tokens/-n, --stream, --echo, --server, --port,
+--service (bench) plus TPU-specific knobs (--impl, --dtype, --prefill-chunk,
+--metrics-format).
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="llamatpu", description="TPU-native GGUF LLM engine")
+    sub = p.add_subparsers(dest="command")
+
+    def common(sp):
+        sp.add_argument("--model", "-m", required=True, help="path to GGUF checkpoint")
+        sp.add_argument("--max-tokens", "-n", type=int, default=512,
+                        help="max total tokens (prompt + generation), clamps context")
+        sp.add_argument("--impl", choices=["xla", "pallas"], default="xla",
+                        help="quantized matmul implementation")
+        sp.add_argument("--dtype", choices=["bf16", "f32"], default="bf16",
+                        help="activation/weight compute dtype")
+        sp.add_argument("--prefill-chunk", type=int, default=128)
+        sp.add_argument("--seed", type=int, default=42)
+        sp.add_argument("--metrics-format", choices=["human", "json", "github", "none"],
+                        default="human")
+
+    run = sub.add_parser("run", help="single-prompt or interactive generation")
+    common(run)
+    run.add_argument("--prompt", "-p", help="instruct prompt")
+    run.add_argument("--system-prompt", "-sp", default=None)
+    run.add_argument("--interactive", "-i", action="store_true")
+    run.add_argument("--temperature", "-temp", type=float, default=None,
+                     help="default: family-specific (ChatFormat.defaultTemperature)")
+    run.add_argument("--top-p", type=float, default=None)
+    run.add_argument("--stream", action=argparse.BooleanOptionalAction, default=True)
+    run.add_argument("--echo", action="store_true")
+    run.add_argument("--no-thinking", action="store_true",
+                     help="suppress Qwen3 reasoning via pre-closed <think></think>")
+
+    serve = sub.add_parser("serve", help="OpenAI-compatible HTTP server")
+    common(serve)
+    serve.add_argument("--host", default="127.0.0.1")
+    serve.add_argument("--port", type=int, default=8080)
+    serve.add_argument("--batch-size", type=int, default=1,
+                       help="continuous-batching slots")
+
+    bench = sub.add_parser("bench", help="llama-bench style pp/tg matrix")
+    common(bench)
+    bench.add_argument("--pp", type=int, nargs="*", default=[512], help="prompt lengths")
+    bench.add_argument("--tg", type=int, nargs="*", default=[128], help="generation lengths")
+    bench.add_argument("--depth", "-d", type=int, nargs="*", default=[0],
+                       help="untimed KV prefill depth before the timed window")
+    bench.add_argument("--reps", "-r", type=int, default=3)
+    bench.add_argument("--output", "-o", choices=["md", "csv", "json", "jsonl", "sql"],
+                       default="md")
+    bench.add_argument("--batch", "-b", type=int, default=1)
+    return p
+
+
+def _load(args, max_tokens=None):
+    import jax.numpy as jnp
+
+    from llamatpu.models.loader import load_model
+    from llamatpu.utils.metrics import RunMetrics, Timer
+
+    metrics = RunMetrics()
+    dtype = jnp.float32 if args.dtype == "f32" else jnp.bfloat16
+    with Timer() as t:
+        model = load_model(args.model, max_tokens=max_tokens or args.max_tokens,
+                           param_dtype=dtype)
+    metrics.load_s = t.elapsed
+    return model, metrics, dtype
+
+
+def cmd_run(args) -> int:
+    import jax.numpy as jnp
+
+    from llamatpu.runtime.engine import Engine
+    from llamatpu.runtime.session import run_instruct_once, run_interactive
+
+    model, metrics, dtype = _load(args)
+    fmt = model.chat_format
+    temp = args.temperature if args.temperature is not None else fmt.default_temperature()
+    top_p = args.top_p if args.top_p is not None else fmt.default_top_p()
+    engine = Engine(model, impl=args.impl, temperature=temp, top_p=top_p,
+                    seed=args.seed, prefill_chunk=args.prefill_chunk,
+                    cache_dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
+                    metrics=metrics)
+    if args.interactive:
+        run_interactive(model, engine, args.system_prompt, args.max_tokens)
+    else:
+        if not args.prompt:
+            print("error: --prompt required (or --interactive)", file=sys.stderr)
+            return 2
+        run_instruct_once(model, engine, args.prompt, args.system_prompt,
+                          max_new_tokens=args.max_tokens, stream=args.stream,
+                          echo=args.echo, enable_thinking=not args.no_thinking)
+    if args.metrics_format != "none":
+        metrics.render(args.metrics_format)
+    return 0
+
+
+def cmd_serve(args) -> int:
+    from llamatpu.server.openai_server import serve
+
+    serve(args)
+    return 0
+
+
+def cmd_bench(args) -> int:
+    from llamatpu.bench.llama_bench import run_bench
+
+    run_bench(args)
+    return 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.command == "run":
+        return cmd_run(args)
+    if args.command == "serve":
+        return cmd_serve(args)
+    if args.command == "bench":
+        return cmd_bench(args)
+    build_parser().print_help()
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

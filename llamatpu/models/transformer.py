@@ -126,11 +126,13 @@ def _moe_ffn(cfg: ModelConfig, h, lw, impl):
 
 
 def forward_tokens(cfg: ModelConfig, weights, tokens, cache: KVCache, pos, impl="xla",
-                   last_logit_only=False):
+                   last_logit_only=False, logit_index=None):
     """Run T tokens at absolute positions pos..pos+T-1 through the full model.
 
     tokens: int32 [B, T]; pos: scalar int32; returns (logits f32, new cache).
-    logits: [B, T, vocab] or [B, vocab] when last_logit_only (decode/prefill-tail).
+    logits: [B, T, vocab], or [B, vocab] when last_logit_only (static index -1)
+    or logit_index (traced scalar — used by chunked prefill to pick the last
+    REAL token's logits inside a padded final chunk).
     """
     b, t = tokens.shape
     x = weights["tok_emb"][tokens]  # [B, T, D]
@@ -181,7 +183,9 @@ def forward_tokens(cfg: ModelConfig, weights, tokens, cache: KVCache, pos, impl=
 
     x, (k_new, v_new) = jax.lax.scan(layer_fn, x, (weights["layers"], cache.k, cache.v))
 
-    if last_logit_only:
+    if logit_index is not None:
+        x = jax.vmap(lambda xb: jax.lax.dynamic_index_in_dim(xb, logit_index, axis=0, keepdims=False))(x)
+    elif last_logit_only:
         x = x[:, -1]
     x = rmsnorm(x, weights["final_norm"], cfg.rms_norm_eps)
     logits = matmul(weights["wcls"], x, impl).astype(jnp.float32)
