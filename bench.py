@@ -1,0 +1,71 @@
+"""Driver benchmark: Llama-3.2-1B-geometry Q8_0 decode throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference's best published Llama-3.2-1B Q8_0 decode rate,
+80.7 tok/s (PTX, prefill-decode + cuda-graphs, BASELINE.md). Weights are
+synthetic (zero-egress environment; decode throughput is weight-value
+independent at identical geometry/quantization).
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+BASELINE_TOK_S = 80.7  # BASELINE.md: Llama-3.2-1B Q8_0 prefill-decode+cuda-graphs (best)
+
+
+def main() -> None:
+    import numpy as np
+
+    from llamatpu.models.synthetic import build_synthetic_model
+    from llamatpu.runtime.engine import Engine
+
+    pp, tg = 512, 128
+    model = build_synthetic_model("llama32-1b", quant="q8_0", context_length=1024)
+    engine = Engine(model, cache_len=1024, prefill_chunk=512, temperature=0.0,
+                    decode_window=32, aot_compile=True)
+
+    rng = np.random.default_rng(42)
+    prompt = rng.integers(0, model.cfg.vocab_size, pp).tolist()
+
+    # warmup generate (hits prefill-chunk + decode-window shapes)
+    engine.reset()
+    engine.generate(prompt[:512], 8)
+
+    # timed pp512
+    engine.reset()
+    t0 = time.perf_counter()
+    tok, _ = engine.prefill(prompt, 0)
+    first = int(tok[0])
+    pp_s = time.perf_counter() - t0
+
+    # timed tg128 (greedy autoregressive decode via device-side windows)
+    t0 = time.perf_counter()
+    res_tokens = 0
+    tok_v, pos, remaining = first, pp, tg
+    while remaining > 0:
+        window = engine.decode_window_run(tok_v, pos, remaining)
+        if not window:
+            break
+        tok_v = window[-1]
+        pos += len(window)
+        remaining -= len(window)
+        res_tokens += len(window)
+    tg_s = time.perf_counter() - t0
+
+    decode_tok_s = res_tokens / tg_s
+    prefill_tok_s = pp / pp_s
+    print(json.dumps({
+        "metric": "llama32-1b-q8_0 decode tok/s (tg128 after pp512, 1 chip)",
+        "value": round(decode_tok_s, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(decode_tok_s / BASELINE_TOK_S, 3),
+        "extra": {"prefill_tok_s": round(prefill_tok_s, 1), "pp": pp, "tg": tg,
+                  "compile_s": round(engine.metrics.compile_s, 1)},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -53,3 +53,21 @@ def make_sampler(temperature: float, top_p: float):
     if temperature == 0.0:
         return lambda logits, rng: greedy(logits)
     return partial(sample, temperature=temperature, top_p=top_p)
+
+
+def sample_dynamic(logits: jnp.ndarray, rng: jax.Array, temperature: jnp.ndarray,
+                   top_p: jnp.ndarray) -> jnp.ndarray:
+    """Sampling with TRACED temperature/top_p so per-request parameters (the
+    serving path: one sampler per request, InferenceService.java:58-99) never
+    trigger recompiles. temperature must be > 0 (the greedy case is a separate
+    compiled program); top_p is clamped to (0, 1], 1.0 == plain categorical."""
+    scaled = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-6)
+    top_p = jnp.clip(top_p, 1e-6, 1.0)
+    probs = jax.nn.softmax(scaled, axis=-1)
+    sorted_probs = jnp.sort(probs, axis=-1, descending=True)
+    sorted_idx = jnp.argsort(probs, axis=-1, descending=True)
+    cum = jnp.cumsum(sorted_probs, axis=-1)
+    keep = (cum - sorted_probs) < top_p  # first token always kept
+    masked = jnp.where(keep, jnp.log(jnp.maximum(sorted_probs, 1e-38)), -jnp.inf)
+    choice = jax.random.categorical(rng, masked, axis=-1)
+    return jnp.take_along_axis(sorted_idx, choice[..., None], axis=-1)[..., 0].astype(jnp.int32)

@@ -1,0 +1,84 @@
+"""Sharding rules: Megatron-style tensor parallelism + data parallelism for
+the unified transformer weights/KV pytrees.
+
+New TPU-native scope beyond the reference (SURVEY.md §2.9): weights and KV are
+tensor-sharded over the "tp" mesh axis so per-layer collectives (an all-reduce
+of the attention and FFN outputs) ride ICI; batch shards over "dp". Rules:
+
+- column-parallel (shard out-features):  wq wk wv w1 w3, q/k/v bias
+- row-parallel   (shard in-features):    wo w2  -> XLA inserts the psum
+- replicated:                            norms, rope tables, embedding
+- vocab-sharded:                         wcls (logits all-gathered/argmaxed by
+                                         XLA inside the sampling fusion)
+- KV cache: heads on "tp", batch on "dp"
+- MoE expert tensors: experts stay whole, sharded over out-features like dense
+  (expert-parallel placement is a later-round upgrade)
+
+QTensor leaves shard qs and scales with the same spec (scales have in/32 lanes
+— same partitioning semantics since 32 | in-shard when tp | out as enforced).
+"""
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from llamatpu.models.config import ModelConfig
+from llamatpu.models.weights import QTensor
+
+
+def _spec_for(name: str, ndim_extra: int = 0) -> P:
+    """PartitionSpec for a stacked [L, out, in] (or [L, E, out, in]) weight."""
+    col = ("wq", "wk", "wv", "w1", "w3", "gate_exps", "up_exps",
+           "shared_gate", "shared_up")
+    row = ("wo", "w2", "down_exps", "shared_down")
+    lead = (None,) * (1 + ndim_extra)  # layer (+ expert) axes unsharded
+    if name in col:
+        return P(*lead, "tp", None)
+    if name in row:
+        return P(*lead, None, "tp")
+    return P()  # replicated: norms, biases handled below, router, shared_gate_inp
+
+
+def weight_shardings(cfg: ModelConfig, mesh: Mesh, weights: dict) -> dict:
+    """Pytree of NamedShardings matching the weights dict structure."""
+
+    def ns(spec):
+        return NamedSharding(mesh, spec)
+
+    def layer_spec(name, leaf):
+        extra = 1 if name.endswith("_exps") else 0
+        if name in ("q_bias", "k_bias", "v_bias"):
+            return ns(P(None, "tp"))
+        if isinstance(leaf, QTensor) or getattr(leaf, "ndim", 0) >= 3 + extra:
+            return ns(_spec_for(name, extra))
+        return ns(P())
+
+    layers = {}
+    for name, leaf in weights["layers"].items():
+        s = layer_spec(name, leaf)
+        layers[name] = QTensor(s, s, leaf.kind) if isinstance(leaf, QTensor) else s
+
+    wcls = weights["wcls"]
+    wcls_s = ns(P("tp", None))
+    return {
+        "tok_emb": ns(P()),
+        "final_norm": ns(P()),
+        "wcls": QTensor(wcls_s, wcls_s, wcls.kind) if isinstance(wcls, QTensor) else wcls_s,
+        "rope_cos": ns(P()),
+        "rope_sin": ns(P()),
+        "layers": layers,
+    }
+
+
+def cache_shardings(cfg: ModelConfig, mesh: Mesh):
+    """KVCache sharding: [L, B, S, n_kv, hd] -> batch on dp, kv heads on tp."""
+    from llamatpu.models.transformer import KVCache
+
+    spec = NamedSharding(mesh, P(None, "dp", None, "tp", None))
+    return KVCache(spec, spec)
+
+
+def shard_model(weights: dict, cfg: ModelConfig, mesh: Mesh) -> dict:
+    """device_put the weights pytree with TP/DP shardings."""
+    shardings = weight_shardings(cfg, mesh, weights)
+    return jax.device_put(weights, shardings)

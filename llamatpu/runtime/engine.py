@@ -8,14 +8,20 @@ InferenceEngine* generation loops (SURVEY.md §2.4-2.5). Design mapping
 - one jitted program per step (scan over layers inside) instead of N+2
   TaskGraph dispatches per token (TornadoVMMasterPlanSingleToken.java:68-96)
 - prefill is ALWAYS batched over the token window (the reference's
-  batch-prefill MMA mode is the TPU default: chunked causal GEMM prefill with
+  batch-prefill MMA mode is the TPU default): chunked causal GEMM prefill with
   the final partial chunk padded; pad garbage in the KV cache sits beyond the
   real length and every later reader overwrites its position before attending
-  to it)
-- KV cache + rng live in a donated pytree, updated in place on device — the
+  to it
+- decode runs as a DEVICE-SIDE autoregressive loop (lax.while_loop window of up
+  to `decode_window` tokens per dispatch, sampling + stop-token detection on
+  device) — the whole-token analog of the reference's CUDA-graphs mode; on a
+  remote-attached TPU each host hop costs ~30ms so per-token dispatch is not
+  viable, and on local hosts it still removes launch overhead
+- KV cache + rng live in donated pytrees, updated in place on device — the
   analog of persistOnDevice/consumeFromDevice buffer plumbing
-- sampling happens inside the decode program; only the 4-byte token id leaves
-  the chip (vs the reference's opt-in deviceSample argmax, LlamaApp.java:24-38)
+- sampling happens inside the programs with TRACED temperature/top_p (two
+  compiled variants: greedy and sampled) so per-request sampler params
+  (InferenceService.java:58-99) never recompile; only token ids leave the chip
 - AOT compile at construction == withPreCompilation() JIT warmup; weight
   device_put == forceCopyInReadOnlyData(), both timed into RunMetrics
   (TornadoVMMasterPlan.java:55-70)
@@ -23,15 +29,15 @@ InferenceEngine* generation loops (SURVEY.md §2.4-2.5). Design mapping
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
-from functools import partial
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from llamatpu.models.loader import LoadedModel
-from llamatpu.models.transformer import KVCache, forward_tokens, init_cache
-from llamatpu.ops.sampling import make_sampler
+from llamatpu.models.transformer import forward_tokens, init_cache
+from llamatpu.ops import sampling
 from llamatpu.utils.metrics import RunMetrics, Timer
 
 
@@ -66,107 +72,111 @@ class Engine:
         self.impl = impl
         self.cache_dtype = cache_dtype
         self.metrics = metrics or RunMetrics()
-        self._sample = make_sampler(temperature, top_p)
+        self.default_temperature = temperature
+        self.default_top_p = top_p
+        self.decode_window = max(1, int(decode_window))
         self._rng = jax.random.PRNGKey(seed)
-
-        cfg, impl_ = self.cfg, impl
-
-        def prefill_fn(weights, tokens, cache, pos, logit_idx, rng):
-            logits, cache = forward_tokens(cfg, weights, tokens, cache, pos,
-                                           impl=impl_, logit_index=logit_idx)
-            rng, sub = jax.random.split(rng)
-            next_tok = self._sample(logits, sub)
-            return next_tok, logits, cache, rng
-
-        def decode_fn(weights, token, cache, pos, rng):
-            logits, cache = forward_tokens(cfg, weights, token, cache, pos,
-                                           impl=impl_, last_logit_only=True)
-            rng, sub = jax.random.split(rng)
-            next_tok = self._sample(logits, sub)
-            return next_tok, cache, rng
-
-        W = self.decode_window = max(1, int(decode_window))
-
-        def decode_n_fn(weights, token, cache, pos0, rng, stops, limit):
-            """Device-side autoregressive loop: up to `limit` (<= W) tokens in ONE
-            dispatch, stopping early when a stop token is sampled. Replaces
-            per-token host round trips (the reference's per-token
-            tornadoVMForwardDecode dispatch; on a remote-attached TPU each
-            host hop costs ~30ms, so the loop must live on device)."""
-            b = token.shape[0]
-            out = jnp.zeros((W, b), jnp.int32)
-
-            def cond(c):
-                i, tok, cache, pos, rng, out, done = c
-                return jnp.logical_and(i < limit, jnp.logical_not(done))
-
-            def body(c):
-                i, tok, cache, pos, rng, out, done = c
-                logits, cache = forward_tokens(cfg, weights, tok[:, None], cache, pos,
-                                               impl=impl_, last_logit_only=True)
-                rng, sub = jax.random.split(rng)
-                nxt = self._sample(logits, sub)
-                out = out.at[i].set(nxt)
-                done = jnp.isin(nxt, stops).any()
-                return (i + 1, nxt, cache, pos + 1, rng, out, done)
-
-            i, tok, cache, pos, rng, out, done = jax.lax.while_loop(
-                cond, body,
-                (jnp.int32(0), token, cache, pos0, rng, out, jnp.bool_(False)))
-            return out, i, cache, rng
-
-        # donate the KV cache and rng for in-place update; everything the host
-        # loop touches is inside these programs (sampling + stop detection
-        # included), so steady-state host<->device traffic is W token ids per
-        # dispatch
-        self._prefill = jax.jit(prefill_fn, donate_argnums=(2, 5))
-        self._decode = jax.jit(decode_fn, donate_argnums=(2, 4))
-        self._decode_n = jax.jit(decode_n_fn, donate_argnums=(2, 4))
+        self._progs: dict[bool, tuple] = {}
 
         with Timer() as t:
             self.weights = jax.device_put(model.weights)
             jax.block_until_ready(jax.tree.leaves(self.weights))
         self.metrics.weight_upload_s = t.elapsed
 
-        self.cache = init_cache(cfg, batch_size, cache_dtype, self.cache_len)
+        self.cache = init_cache(self.cfg, batch_size, cache_dtype, self.cache_len)
 
         if aot_compile:
             self._aot_compile()
 
     # ------------------------------------------------------------------
-    def _aot_compile(self) -> None:
-        """Warm up the jit caches for the decode and prefill-chunk shapes
-        (== withPreCompilation). Uses real warmup calls so the executables land
-        in the dispatch cache; the cache is rebuilt afterwards since donation
-        consumes it."""
-        import numpy as np
+    def _programs(self, greedy: bool):
+        """Build (or fetch) the jitted prefill/decode programs for one sampling
+        mode. Greedy and sampled are separate compiled variants; within the
+        sampled variant temperature/top_p are traced scalars."""
+        if greedy in self._progs:
+            return self._progs[greedy]
+        cfg, impl, W = self.cfg, self.impl, self.decode_window
 
+        def sample_fn(logits, sub, temp, topp):
+            if greedy:
+                return sampling.greedy(logits)
+            return sampling.sample_dynamic(logits, sub, temp, topp)
+
+        def prefill_fn(weights, tokens, cache, pos, logit_idx, rng, temp, topp):
+            logits, cache = forward_tokens(cfg, weights, tokens, cache, pos,
+                                           impl=impl, logit_index=logit_idx)
+            rng, sub = jax.random.split(rng)
+            next_tok = sample_fn(logits, sub, temp, topp)
+            return next_tok, logits, cache, rng
+
+        def decode_n_fn(weights, token, cache, pos0, rng, stops, limit, temp, topp):
+            b = token.shape[0]
+            out = jnp.zeros((W, b), jnp.int32)
+
+            def cond(c):
+                i, tok, cache_, pos, rng_, out_, done = c
+                return jnp.logical_and(i < limit, jnp.logical_not(done))
+
+            def body(c):
+                i, tok, cache_, pos, rng_, out_, done = c
+                logits, cache_ = forward_tokens(cfg, weights, tok[:, None], cache_,
+                                                pos, impl=impl, last_logit_only=True)
+                rng_, sub = jax.random.split(rng_)
+                nxt = sample_fn(logits, sub, temp, topp)
+                out_ = out_.at[i].set(nxt)
+                done = jnp.isin(nxt, stops).any()
+                return (i + 1, nxt, cache_, pos + 1, rng_, out_, done)
+
+            i, tok, cache, pos, rng, out, done = jax.lax.while_loop(
+                cond, body,
+                (jnp.int32(0), token, cache, pos0, rng, out, jnp.bool_(False)))
+            return out, i, cache, rng
+
+        progs = (
+            jax.jit(prefill_fn, donate_argnums=(2, 5)),
+            jax.jit(decode_n_fn, donate_argnums=(2, 4)),
+        )
+        self._progs[greedy] = progs
+        return progs
+
+    def _resolve_sampling(self, temperature, top_p):
+        t = self.default_temperature if temperature is None else temperature
+        p = self.default_top_p if top_p is None else top_p
+        return (t == 0.0), np.float32(t), np.float32(p)
+
+    # ------------------------------------------------------------------
+    def _aot_compile(self) -> None:
+        """Warm up the jit caches for the default sampling mode's prefill-chunk
+        and decode-window programs (== withPreCompilation)."""
         b = self.batch_size
-        tok1 = np.zeros((b, 1), np.int32)
-        tokc = np.zeros((b, self.prefill_chunk), np.int32)
-        pos = np.int32(0)
+        greedy, temp, topp = self._resolve_sampling(None, None)
+        prefill, decode_n = self._programs(greedy)
         with Timer() as t:
-            _, _, cache, self._rng = self._prefill(
-                self.weights, tokc, self.cache, pos, np.int32(0), self._rng)
-            _, _, cache, self._rng = self._decode_n(
-                self.weights, np.zeros((b,), np.int32), cache, pos, self._rng,
-                self._stops_array(set()), np.int32(1))
+            _, _, cache, self._rng = prefill(
+                self.weights, np.zeros((b, self.prefill_chunk), np.int32),
+                self.cache, np.int32(0), np.int32(0), self._rng, temp, topp)
+            _, _, cache, self._rng = decode_n(
+                self.weights, np.zeros((b,), np.int32), cache, np.int32(0),
+                self._rng, self._stops_array(set()), np.int32(1), temp, topp)
             jax.block_until_ready(self._rng)
         self.metrics.compile_s = t.elapsed
         self.reset()
 
     # ------------------------------------------------------------------
-    def reset(self) -> None:
+    def reset(self, seed: int | None = None) -> None:
         self.cache = init_cache(self.cfg, self.batch_size, self.cache_dtype, self.cache_len)
+        if seed is not None:
+            self._rng = jax.random.PRNGKey(seed)
 
-    def prefill(self, tokens: list[int], start_pos: int = 0):
+    def prefill(self, tokens: list[int], start_pos: int = 0,
+                temperature=None, top_p=None):
         """Run the prompt through the model in causal chunks; returns
         (sampled_next_token [B], last real token's logits [B, V]). Advances the
         KV cache in place. All inputs are numpy so jit handles transfers — no
-        eager op dispatches in the host loop."""
-        import numpy as np
-
+        eager dispatches in the host loop."""
         assert self.batch_size == 1, "Engine.prefill is single-sequence; use BatchEngine for B>1"
+        greedy, temp, topp = self._resolve_sampling(temperature, top_p)
+        prefill, _ = self._programs(greedy)
         c = self.prefill_chunk
         n = len(tokens)
         tok = logits = None
@@ -177,19 +187,32 @@ class Engine:
             if r < c:
                 chunk = chunk + [0] * (c - r)  # pad final partial chunk
             arr = np.asarray([chunk], np.int32)
-            tok, logits, self.cache, self._rng = self._prefill(
+            tok, logits, self.cache, self._rng = prefill(
                 self.weights, arr, self.cache, np.int32(start_pos + i),
-                np.int32(r - 1), self._rng)
+                np.int32(r - 1), self._rng, temp, topp)
             i += r
         return tok, logits
 
-    def decode_step(self, token: int, pos: int) -> int:
-        import numpy as np
+    def decode_window_run(self, token: int, pos: int, limit: int,
+                          stop_tokens=frozenset(), temperature=None, top_p=None):
+        """One device-side decode window: generate up to `limit` (<= decode
+        window W) tokens starting after `token` at position `pos`. Returns the
+        list of generated ids (stop token included if hit)."""
+        greedy, temp, topp = self._resolve_sampling(temperature, top_p)
+        _, decode_n = self._programs(greedy)
+        limit = min(limit, self.decode_window, self.cache_len - pos - 1)
+        if limit <= 0:
+            return []
+        toks, count, self.cache, self._rng = decode_n(
+            self.weights, np.full((self.batch_size,), token, np.int32),
+            self.cache, np.int32(pos), self._rng,
+            self._stops_array(stop_tokens), np.int32(limit), temp, topp)
+        count = int(count)
+        return [int(t) for t in toks[:count, 0]]
 
-        tok = np.full((self.batch_size, 1), token, np.int32)
-        next_tok, self.cache, self._rng = self._decode(
-            self.weights, tok, self.cache, np.int32(pos), self._rng)
-        return int(next_tok[0])
+    def decode_step(self, token: int, pos: int, temperature=None, top_p=None) -> int:
+        out = self.decode_window_run(token, pos, 1, frozenset(), temperature, top_p)
+        return out[0] if out else -1
 
     # ------------------------------------------------------------------
     def generate(
@@ -200,10 +223,12 @@ class Engine:
         on_token=None,
         echo: bool = False,
         start_pos: int = 0,
+        temperature=None,
+        top_p=None,
     ) -> GenerationResult:
         """Autoregressive generation (reference: InferenceEngine.generateTokens*,
-        InferenceEngine.java:81-680): prompt ingestion, decode with stop-token
-        check and streaming callback, per-phase metrics."""
+        InferenceEngine.java:81-680): prompt ingestion, windowed decode with
+        stop-token check and streaming callback, per-phase metrics."""
         m = self.metrics
         assert prompt_tokens, "empty prompt"
         if echo and on_token:
@@ -215,18 +240,15 @@ class Engine:
             f"prompt ({total}) exceeds cache length {self.cache_len}")
 
         t0 = time.perf_counter()
-        tok_arr, _ = self.prefill(prompt_tokens, start_pos)
+        tok_arr, _ = self.prefill(prompt_tokens, start_pos, temperature, top_p)
         first = int(tok_arr[0])  # blocks until the prefill chain completes
         m.prefill_s += time.perf_counter() - t0
         m.prefill_tokens += len(prompt_tokens)
-
-        import numpy as np
 
         out: list[int] = []
         stop_reason = "length"
         tok = first
         pos = total
-        stops_arr = self._stops_array(stop_tokens)
         t0 = time.perf_counter()
 
         out.append(tok)
@@ -237,24 +259,20 @@ class Engine:
         else:
             remaining = max_new_tokens - 1
             while remaining > 0 and pos + 1 < self.cache_len:
-                limit = min(self.decode_window, remaining, self.cache_len - pos - 1)
-                toks, count, self.cache, self._rng = self._decode_n(
-                    self.weights, np.full((self.batch_size,), tok, np.int32),
-                    self.cache, np.int32(pos), self._rng, stops_arr, np.int32(limit))
-                count = int(count)
-                window = [int(t) for t in toks[:count, 0]]
+                window = self.decode_window_run(tok, pos, remaining, stop_tokens,
+                                                temperature, top_p)
+                if not window:
+                    break
                 for t in window:
                     out.append(t)
                     if on_token:
                         on_token(t)
-                if window and window[-1] in stop_tokens:
+                if window[-1] in stop_tokens:
                     stop_reason = "stop_token"
                     break
-                if count == 0:
-                    break
                 tok = window[-1]
-                pos += count
-                remaining -= count
+                pos += len(window)
+                remaining -= len(window)
 
         m.decode_s += time.perf_counter() - t0
         m.decode_tokens += len(out)
@@ -264,8 +282,6 @@ class Engine:
     def _stops_array(stop_tokens, pad_to: int = 8):
         """Fixed-size stop-token array (padded with -1) so the decode program
         never recompiles across differing stop sets."""
-        import numpy as np
-
         stops = sorted(stop_tokens)[:pad_to]
         arr = np.full((pad_to,), -1, np.int32)
         arr[: len(stops)] = stops
