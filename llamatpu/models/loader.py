@@ -134,7 +134,7 @@ def _load_matmul(reader: GGUFReader, name: str, mode: str, dtype) -> QTensor | n
             kind = "q4_0"
         shape = info.shape
         qs = np.ascontiguousarray(qs).reshape(shape)
-        scales = np.ascontiguousarray(scales).reshape(*shape[:-1], shape[-1] // 32)
+        scales = np.ascontiguousarray(scales).astype(np.float32).reshape(*shape[:-1], shape[-1] // 32)
         return QTensor(qs, scales, kind)
     return _load_dense(reader, name, dtype)
 

@@ -51,7 +51,7 @@ PRESETS: dict[str, dict] = {
 def _rand_qtensor(rng: np.random.Generator, shape: tuple[int, ...]) -> QTensor:
     qs = rng.integers(-127, 128, size=shape, dtype=np.int8)
     scales = (rng.random(size=(*shape[:-1], shape[-1] // 32), dtype=np.float32)
-              * 0.001 + 0.0005).astype(np.float16)
+              * 0.001 + 0.0005)
     return QTensor(qs, scales, "q8_0")
 
 

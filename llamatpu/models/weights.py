@@ -31,7 +31,9 @@ class QTensor:
     """Block-quantized tensor: int8 values + per-32 f16 scales."""
 
     qs: jax.Array      # int8 [..., out, in]
-    scales: jax.Array  # float16 [..., out, in // 32]
+    scales: jax.Array  # float32 [..., out, in // 32] (exact upcast of the GGUF
+                       # f16 block scales; Mosaic has no f16, and f32 costs only
+                       # +1/16 byte/weight of HBM traffic)
     kind: str = "q8_0"  # "q8_0" | "q4_0" (affects only provenance/bit width)
 
     @property
@@ -59,7 +61,7 @@ def qtensor_from_gguf(ggml_type, raw: np.ndarray, shape: tuple[int, ...]) -> QTe
     else:
         raise ValueError(f"qtensor_from_gguf: {ggml_type!r}")
     qs = np.ascontiguousarray(qs).reshape(*shape[:-1], shape[-1])
-    scales = np.ascontiguousarray(scales).reshape(*shape[:-1], shape[-1] // BLOCK)
+    scales = np.ascontiguousarray(scales).astype(np.float32).reshape(*shape[:-1], shape[-1] // BLOCK)
     return QTensor(jnp.asarray(qs), jnp.asarray(scales), kind)
 
 

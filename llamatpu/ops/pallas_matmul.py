@@ -1,0 +1,126 @@
+"""Pallas fused dequant+matmul for block-quantized weights.
+
+The TPU-native equivalent of the reference's quantized GEMV/GEMM kernel tier
+(matrixVectorGenericQ8Byte / fusedQKVMatmulQ8 / gemmMMAQ8,
+TransformerComputeKernelsLayered.java:2773-2945, TransformerBatchPrefillKernels
+.java:1580-1857): weights stream from HBM as int8 (+ f32 block scales) and are
+dequantized in VMEM inside the matmul tile, so HBM traffic per token is
+~1.1 bytes/weight instead of the 3-5 bytes a materialized dequant costs on the
+XLA fallback path (ops/matmul.py) — measured 857MB of temp allocations per
+decode step for Llama-1B on the XLA path.
+
+One kernel serves decode (T=1 GEMV: memory-bound) and prefill/batch (T up to
+512: compute-bound MXU GEMM), mirroring SURVEY.md §7.1 "prefill naturally
+batched". Grid: (T tiles, O tiles) — for each activation tile the full weight
+matrix streams through VMEM; Pallas double-buffers the HBM->VMEM copies.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from llamatpu.models.weights import QTensor
+
+BLOCK = 32
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _tiles(O: int, I: int, T: int, xbytes: int) -> tuple[int, int, int]:
+    """Choose (padded_T, T_tile, O_tile) under the VMEM budget."""
+
+    def fits(tt, to):
+        need = 2 * (tt * I * xbytes + to * I + to * (I // BLOCK) * 4) + tt * to * 4
+        return need <= _VMEM_BUDGET
+
+    tp = -(-T // 8) * 8
+    # O tile must be lane-aligned (multiple of 128) unless it covers all of O
+    for to in (256, 512, 128):
+        if O % to:
+            continue
+        tt = min(tp, 256)
+        while tt > 8 and not fits(tt, to):
+            tt //= 2
+        if fits(tt, to):
+            return -(-tp // tt) * tt, tt, to
+    tt = min(tp, 256)
+    while tt > 8 and not fits(tt, O):
+        tt //= 2
+    return -(-tp // tt) * tt, tt, O  # tiny models: whole-O block
+
+
+def _kernel(x_ref, w_ref, s_ref, o_ref, *, dot_dtype):
+    w = w_ref[:]                      # [TO, I] int8
+    s = s_ref[:].astype(jnp.float32)  # [TO, I/32]
+    to, i = w.shape
+    nb = i // BLOCK
+    # Dequant inside VMEM. Mosaic can't reshape (TO, NB, 32) -> (TO, I), so the
+    # per-32-block scale expansion rides the MXU instead: s_exp = s @ E with
+    # E[b, k] = (k >> 5 == b) built from iota (shift, NOT //: the VPU has no
+    # integer divide — `// 32` lowers to a ~20x-slower software loop, measured
+    # 602us vs 33us per 2048x2048 tile). The (TO x NB) @ (NB x I) matmul is
+    # negligible next to the HBM stream this kernel is bound by.
+    b_ids = jax.lax.broadcasted_iota(jnp.int32, (nb, i), 0)
+    k_ids = jax.lax.broadcasted_iota(jnp.int32, (nb, i), 1)
+    expander = (jax.lax.shift_right_logical(k_ids, 5) == b_ids).astype(jnp.float32)
+    s_exp = jax.lax.dot_general(
+        s, expander, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    wd = (w.astype(jnp.float32) * s_exp).astype(dot_dtype)
+    x = x_ref[:].astype(dot_dtype)    # [TT, I]
+    o_ref[:] = jax.lax.dot_general(
+        x, wd,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _quant_matmul_2d(qs, scales, x2, interpret=False):
+    """y[T, O] = x2[T, I] @ dequant(qs, scales)[O, I]^T"""
+    O, I = qs.shape
+    T = x2.shape[0]
+    xbytes = 4 if x2.dtype == jnp.float32 else 2
+    tp, tt, to = _tiles(O, I, T, xbytes)
+    dot_dtype = jnp.float32 if x2.dtype == jnp.float32 else jnp.bfloat16
+    if tp != T:
+        x2 = jnp.pad(x2, ((0, tp - T), (0, 0)))
+    grid = (tp // tt, O // to)
+    y = pl.pallas_call(
+        functools.partial(_kernel, dot_dtype=dot_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tt, I), lambda t, o: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((to, I), lambda t, o: (o, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((to, I // BLOCK), lambda t, o: (o, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tt, to), lambda t, o: (t, o), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((tp, O), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * tp * O * I,
+            bytes_accessed=(tp // tt) * (O * I + O * (I // BLOCK) * 4) + tp * I * xbytes + tp * O * 4,
+            transcendentals=0,
+        ),
+    )(x2, qs, scales)
+    if tp != T:
+        y = y[:T]
+    return y
+
+
+def quant_matmul_pallas(w: QTensor, x: jnp.ndarray, interpret: bool | None = None) -> jnp.ndarray:
+    """y[..., O] = x[..., I] @ W^T with fused in-kernel dequantization."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    qs, scales = w.qs, w.scales
+    assert qs.ndim == 2, "layer/expert stacking must be sliced before the kernel"
+    lead = x.shape[:-1]
+    T = 1
+    for d in lead:
+        T *= d
+    x2 = x.reshape(T, x.shape[-1])
+    y = _quant_matmul_2d(qs, scales, x2, interpret=interpret)
+    return y.reshape(*lead, qs.shape[0]).astype(x.dtype)

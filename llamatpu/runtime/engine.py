@@ -207,8 +207,11 @@ class Engine:
             self.weights, np.full((self.batch_size,), token, np.int32),
             self.cache, np.int32(pos), self._rng,
             self._stops_array(stop_tokens), np.int32(limit), temp, topp)
-        count = int(count)
-        return [int(t) for t in toks[:count, 0]]
+        # ONE device->host fetch for the whole window (indexing the device
+        # array per element costs a full host round trip PER TOKEN — ~30ms
+        # each on a remote-attached chip)
+        toks_h, count_h = jax.device_get((toks, count))
+        return toks_h[: int(count_h), 0].tolist()
 
     def decode_step(self, token: int, pos: int, temperature=None, top_p=None) -> int:
         out = self.decode_window_run(token, pos, 1, frozenset(), temperature, top_p)

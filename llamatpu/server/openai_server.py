@@ -1,0 +1,203 @@
+"""OpenAI-compatible HTTP server.
+
+Endpoint/SSE semantics match the reference's OpenAIServer
+(server/OpenAIServer.java:85-98, 207-364): POST /v1/chat/completions and
+/v1/completions (streaming via SSE — role-delta first chunk, content deltas,
+final empty delta with finish_reason, `data: [DONE]`; non-streaming with usage
+counts), GET /v1/models, GET /health, HTML index at /. Zero dependencies
+(stdlib http.server; the reference uses the JDK HttpServer). Generation is
+serialized by the InferenceService lock, matching the reference.
+"""
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from llamatpu.format.chat_format import Message
+from llamatpu.server.service import InferenceService, Request
+
+_INDEX_HTML = """<!doctype html><html><head><title>llamatpu</title></head>
+<body><h1>llamatpu OpenAI-compatible server</h1>
+<p>Endpoints: POST /v1/chat/completions, POST /v1/completions,
+GET /v1/models, GET /health</p></body></html>"""
+
+
+class _Handler(BaseHTTPRequestHandler):
+    service: InferenceService = None
+    model_id: str = "llamatpu"
+    protocol_version = "HTTP/1.1"
+    _seq = [0]
+    _seq_lock = threading.Lock()
+
+    def log_message(self, fmt, *args):  # quiet by default
+        pass
+
+    # -- helpers ----------------------------------------------------------
+    def _send_json(self, code: int, obj) -> None:
+        body = json.dumps(obj).encode("utf-8")
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _send_error_json(self, code: int, message: str) -> None:
+        self._send_json(code, {"error": {"message": message, "type": "invalid_request_error"}})
+
+    def _next_id(self, prefix: str) -> str:
+        with self._seq_lock:
+            self._seq[0] += 1
+            return f"{prefix}{self._seq[0]}"
+
+    # -- routes -----------------------------------------------------------
+    def do_GET(self):
+        if self.path == "/health":
+            self._send_json(200, {"status": "ok"})
+        elif self.path == "/v1/models":
+            self._send_json(200, {"object": "list", "data": [
+                {"id": self.model_id, "object": "model", "created": 0,
+                 "owned_by": "llamatpu"}]})
+        elif self.path in ("/", "/index.html"):
+            body = _INDEX_HTML.encode("utf-8")
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        else:
+            self._send_error_json(404, f"no such endpoint: {self.path}")
+
+    def do_POST(self):
+        if self.path == "/v1/chat/completions":
+            self._handle_completion(chat=True)
+        elif self.path == "/v1/completions":
+            self._handle_completion(chat=False)
+        else:
+            self._send_error_json(404, f"no such endpoint: {self.path}")
+
+    def _handle_completion(self, chat: bool) -> None:
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(length).decode("utf-8"))
+        except Exception as e:
+            self._send_error_json(400, f"Invalid JSON body: {e}")
+            return
+
+        messages: list[Message] = []
+        if chat:
+            msgs = body.get("messages")
+            if not isinstance(msgs, list) or not msgs:
+                self._send_error_json(400, "'messages' must be a non-empty array")
+                return
+            for m in msgs:
+                messages.append(Message(str(m.get("role", "user")), str(m.get("content", ""))))
+        else:
+            prompt = body.get("prompt", "")
+            if not isinstance(prompt, str) or not prompt:
+                self._send_error_json(400, "'prompt' must be a non-empty string")
+                return
+            messages.append(Message("user", prompt))
+
+        req = Request(
+            messages=messages,
+            max_tokens=int(body.get("max_tokens", body.get("max_completion_tokens", 256))),
+            temperature=float(body.get("temperature", 0.0)),
+            top_p=float(body.get("top_p", 0.95)),
+            seed=int(body.get("seed", 1234)),
+            raw_prompt=not chat,
+        )
+        rid = self._next_id("chatcmpl-" if chat else "cmpl-")
+        created = int(time.time())
+        if body.get("stream", False):
+            self._stream_response(req, rid, created, chat)
+        else:
+            self._full_response(req, rid, created, chat)
+
+    # -- responses --------------------------------------------------------
+    def _full_response(self, req, rid, created, chat) -> None:
+        try:
+            r = self.service.generate(req)
+        except Exception as e:
+            self._send_error_json(500, f"generation failed: {e}")
+            return
+        if chat:
+            choice = {"index": 0,
+                      "message": {"role": "assistant", "content": r.text},
+                      "finish_reason": r.finish_reason}
+            obj = "chat.completion"
+        else:
+            choice = {"index": 0, "text": r.text, "finish_reason": r.finish_reason}
+            obj = "text_completion"
+        self._send_json(200, {
+            "id": rid, "object": obj, "created": created, "model": self.model_id,
+            "choices": [choice],
+            "usage": {"prompt_tokens": r.prompt_tokens,
+                      "completion_tokens": r.completion_tokens,
+                      "total_tokens": r.prompt_tokens + r.completion_tokens},
+        })
+
+    def _chunk(self, rid, obj, created, delta, finish, chat) -> bytes:
+        choice = {"index": 0, "finish_reason": finish}
+        if chat:
+            choice["delta"] = delta
+        else:
+            choice.update(delta)
+        payload = {"id": rid, "object": obj, "created": created,
+                   "model": self.model_id, "choices": [choice]}
+        return f"data: {json.dumps(payload)}\n\n".encode("utf-8")
+
+    def _stream_response(self, req, rid, created, chat) -> None:
+        obj = "chat.completion.chunk" if chat else "text_completion"
+        self.send_response(200)
+        self.send_header("Content-Type", "text/event-stream")
+        self.send_header("Cache-Control", "no-cache")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+
+        def write_chunk(data: bytes):
+            self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
+            self.wfile.flush()
+
+        if chat:  # first chunk carries the assistant role
+            write_chunk(self._chunk(rid, obj, created, {"role": "assistant"}, None, chat))
+
+        def on_piece(piece: str):
+            delta = {"content": piece} if chat else {"text": piece}
+            write_chunk(self._chunk(rid, obj, created, delta, None, chat))
+
+        try:
+            r = self.service.generate(req, on_piece=on_piece)
+            final_delta = {} if chat else {"text": ""}
+            write_chunk(self._chunk(rid, obj, created, final_delta, r.finish_reason, chat))
+            write_chunk(b"data: [DONE]\n\n")
+        finally:
+            self.wfile.write(b"0\r\n\r\n")
+            self.wfile.flush()
+
+
+def make_server(service: InferenceService, host: str, port: int,
+                model_id: str = "llamatpu") -> ThreadingHTTPServer:
+    handler = type("Handler", (_Handler,), {"service": service, "model_id": model_id})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def serve(args) -> None:
+    import jax.numpy as jnp
+
+    from llamatpu.models.loader import load_model
+    from llamatpu.runtime.engine import Engine
+
+    model = load_model(args.model, max_tokens=args.max_tokens)
+    engine = Engine(model, impl=args.impl, prefill_chunk=args.prefill_chunk,
+                    cache_len=min(args.max_tokens, model.cfg.context_length)
+                    if args.max_tokens else None)
+    service = InferenceService(model, engine)
+    model_id = model.metadata.get("general.name", "llamatpu")
+    srv = make_server(service, args.host, args.port, model_id)
+    print(f"llamatpu serving {model_id} on http://{args.host}:{args.port}")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        srv.shutdown()

@@ -1,0 +1,57 @@
+"""Pallas fused dequant-matmul parity vs the dequantize-then-dot reference
+(interpret mode on CPU; the same kernel compiles via Mosaic on TPU)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from llamatpu.models.weights import QTensor
+from llamatpu.ops.pallas_matmul import quant_matmul_pallas
+
+
+def make_qt(o, i, seed=0):
+    rng = np.random.default_rng(seed)
+    qs = rng.integers(-127, 128, (o, i), dtype=np.int8)
+    scales = (rng.random((o, i // 32)).astype(np.float32) * 0.02 + 0.001)
+    return QTensor(jnp.asarray(qs), jnp.asarray(scales), "q8_0")
+
+
+@pytest.mark.parametrize("o,i,t", [(64, 64, 1), (128, 256, 1), (96, 64, 4), (256, 128, 7)])
+def test_matches_dequant_reference(o, i, t):
+    w = make_qt(o, i)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((t, i)), jnp.float32)
+    y = quant_matmul_pallas(w, x, interpret=True)
+    ref = x @ w.dequant(jnp.float32).T
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_leading_dims_flattened():
+    w = make_qt(64, 64)
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((2, 3, 64)), jnp.float32)
+    y = quant_matmul_pallas(w, x, interpret=True)
+    assert y.shape == (2, 3, 64)
+    ref = jnp.einsum("bti,oi->bto", x, w.dequant(jnp.float32))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_engine_pallas_impl_matches_oracle(tmp_path):
+    import tiny_models
+    from oracle import Oracle
+    from llamatpu.gguf import GGMLType, GGUFReader
+    from llamatpu.models import loader as mloader
+    from llamatpu.models.transformer import forward_tokens, init_cache
+
+    path = tmp_path / "m.gguf"
+    tiny_models.build_tiny_gguf(path, family="llama", quant=GGMLType.Q8_0, seed=4)
+    model = mloader.load_model(str(path), mode="quant", param_dtype=jnp.float32,
+                               load_tokenizer=False)
+    with GGUFReader(str(path)) as r:
+        deq = {n: r.tensor_f32(n) for n in r.tensor_infos}
+    orc = Oracle(model.cfg, deq, "llama")
+    cache = init_cache(model.cfg, 1, jnp.float32)
+    for pos, tok in enumerate([3, 17, 42]):
+        want = orc.forward(tok, pos)
+        logits, cache = forward_tokens(model.cfg, model.weights,
+                                       jnp.array([[tok]], jnp.int32), cache, pos,
+                                       impl="pallas", last_logit_only=True)
+        np.testing.assert_allclose(np.asarray(logits[0]), want, rtol=5e-3, atol=5e-3)
