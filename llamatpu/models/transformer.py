@@ -59,20 +59,21 @@ def init_cache(cfg: ModelConfig, batch: int, dtype=jnp.bfloat16, length: int | N
     )
 
 
-def _attention(cfg: ModelConfig, q, kc, vc, pos, t_len):
+def _attention(cfg: ModelConfig, q, kc, vc, pos_vec, t_len):
     """Masked GQA attention over the full cache.
 
-    q: [B, T, KV, G, hd]; kc: [B, S, KV, hd]; vc: [B, S, KV, vhd].
-    Valid keys for query t: absolute s <= pos + t (reference loops t=0..position,
+    q: [B, T, KV, G, hd]; kc: [B, S, KV, hd]; vc: [B, S, KV, vhd];
+    pos_vec: [B] per-sequence start positions. Valid keys for query t of
+    sequence b: absolute s <= pos_vec[b] + t (reference loops t=0..position,
     InferenceCore.java:108-137). f32 scores/softmax.
     """
     scale = cfg.attn_score_scale
     scores = jnp.einsum("btkgh,bskh->bkgts", q.astype(jnp.float32), kc.astype(jnp.float32)) * scale
     s_len = kc.shape[1]
-    t_idx = jnp.arange(t_len)[:, None]
-    s_idx = jnp.arange(s_len)[None, :]
-    mask = s_idx <= (pos + t_idx)  # [T, S]
-    scores = jnp.where(mask[None, None, None], scores, -jnp.inf)
+    t_idx = jnp.arange(t_len)[None, :, None]
+    s_idx = jnp.arange(s_len)[None, None, :]
+    mask = s_idx <= (pos_vec[:, None, None] + t_idx)  # [B, T, S]
+    scores = jnp.where(mask[:, None, None], scores, -jnp.inf)
     att = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bkgts,bskv->btkgv", att, vc.astype(jnp.float32))
     return out  # [B, T, KV, G, vhd] f32
@@ -129,19 +130,22 @@ def forward_tokens(cfg: ModelConfig, weights, tokens, cache: KVCache, pos, impl=
                    last_logit_only=False, logit_index=None):
     """Run T tokens at absolute positions pos..pos+T-1 through the full model.
 
-    tokens: int32 [B, T]; pos: scalar int32; returns (logits f32, new cache).
+    tokens: int32 [B, T]; pos: scalar int32 OR per-sequence vector [B] (the
+    continuous-batching path decodes sequences sitting at different positions);
+    returns (logits f32, new cache).
     logits: [B, T, vocab], or [B, vocab] when last_logit_only (static index -1)
     or logit_index (traced scalar — used by chunked prefill to pick the last
     REAL token's logits inside a padded final chunk).
     """
     b, t = tokens.shape
+    pos_vec = jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(pos)), (b,))
     x = weights["tok_emb"][tokens]  # [B, T, D]
     if cfg.embedding_scale != 1.0:
         x = (x.astype(jnp.float32) * cfg.embedding_scale).astype(x.dtype)
 
-    positions = pos + jnp.arange(t)
-    cos = weights["rope_cos"][positions][None, :, None, :]  # [1, T, 1, half]
-    sin = weights["rope_sin"][positions][None, :, None, :]
+    positions = pos_vec[:, None] + jnp.arange(t)[None, :]  # [B, T]
+    cos = weights["rope_cos"][positions][:, :, None, :]  # [B, T, 1, half]
+    sin = weights["rope_sin"][positions][:, :, None, :]
 
     kv, g = cfg.n_kv_heads, cfg.gqa_groups
 
@@ -164,10 +168,11 @@ def forward_tokens(cfg: ModelConfig, weights, tokens, cache: KVCache, pos, impl=
         q = apply_rope(q, cos, sin, cfg.rope_style)
         k = apply_rope(k, cos, sin, cfg.rope_style)
 
-        kc = jax.lax.dynamic_update_slice(kc, k.astype(kc.dtype), (0, pos, 0, 0))
-        vc = jax.lax.dynamic_update_slice(vc, v.astype(vc.dtype), (0, pos, 0, 0))
+        upd = jax.vmap(lambda c, new, p: jax.lax.dynamic_update_slice(c, new, (p, 0, 0)))
+        kc = upd(kc, k.astype(kc.dtype), pos_vec)
+        vc = upd(vc, v.astype(vc.dtype), pos_vec)
 
-        attn = _attention(cfg, q.reshape(b, t, kv, g, cfg.head_dim), kc, vc, pos, t)
+        attn = _attention(cfg, q.reshape(b, t, kv, g, cfg.head_dim), kc, vc, pos_vec, t)
         attn = attn.reshape(b, t, kv * g * cfg.v_head_dim).astype(x.dtype)
         attn_out = matmul(lw["wo"], attn, impl)
         if cfg.residual_scale != 1.0:

@@ -1,0 +1,178 @@
+"""Continuous batching scheduler: a request queue feeding a BatchEngine.
+
+The reference serializes requests entirely (InferenceService.java:59
+synchronized; SURVEY.md §2.8 "no KV reuse / no continuous batching"). This
+scheduler is the north-star upgrade (BASELINE.json): requests join a running
+batch between decode windows — a free cache lane is prefilled while other lanes
+keep decoding, each lane streams tokens to its own consumer, and lanes free up
+independently on stop/length.
+
+Scheduling loop (one background thread):
+  1. admit: pop pending requests into free lanes (chunked prefill per lane)
+  2. decode: one device-side window for all active lanes
+  3. route: distribute the [W, B] token slab to per-request streams; finish
+     lanes on stop token or budget; goto 1
+
+All requests share the model's chat-format stop set (single-model server).
+Per-lane sampling params are honored; per-request seeds are folded into the
+shared engine rng at admission (lane streams are deterministic only for a
+fixed admission schedule — inherent to continuous batching).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from llamatpu.runtime.batch_engine import BatchEngine
+
+
+@dataclass
+class BatchRequest:
+    prompt_tokens: list[int]
+    max_new_tokens: int
+    temperature: float = 0.0
+    top_p: float = 0.0
+    stream: "TokenStream" = None
+
+
+class TokenStream:
+    """Per-request token channel: scheduler pushes ids, consumer iterates."""
+
+    _END = object()
+
+    def __init__(self):
+        self._q: queue.Queue = queue.Queue()
+        self.finish_reason: str | None = None
+
+    def push(self, token_id: int) -> None:
+        self._q.put(token_id)
+
+    def finish(self, reason: str) -> None:
+        self.finish_reason = reason
+        self._q.put(self._END)
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is self._END:
+                return
+            yield item
+
+
+@dataclass
+class _Lane:
+    req: BatchRequest | None = None
+    produced: int = 0
+
+
+class ContinuousBatcher:
+    def __init__(self, engine: BatchEngine, stop_tokens: set[int]):
+        self.engine = engine
+        self.stop_tokens = set(stop_tokens)
+        self.B = engine.batch_size
+        self._lanes = [_Lane() for _ in range(self.B)]
+        self._pending: queue.Queue[BatchRequest] = queue.Queue()
+        self._tokens = np.zeros(self.B, np.int32)
+        self._pos = np.zeros(self.B, np.int32)
+        self._active = np.zeros(self.B, bool)
+        self._temps = np.zeros(self.B, np.float32)
+        self._topps = np.zeros(self.B, np.float32)
+        self._wake = threading.Event()
+        self._shutdown = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # -- client API -------------------------------------------------------
+    def submit(self, req: BatchRequest) -> TokenStream:
+        req.stream = TokenStream()
+        self._pending.put(req)
+        self._wake.set()
+        return req.stream
+
+    def shutdown(self) -> None:
+        self._shutdown = True
+        self._wake.set()
+        self._thread.join(timeout=5)
+
+    # -- scheduler loop ---------------------------------------------------
+    def _free_lane(self) -> int | None:
+        for i, l in enumerate(self._lanes):
+            if l.req is None:
+                return i
+        return None
+
+    def _admit(self) -> None:
+        while True:
+            lane = self._free_lane()
+            if lane is None:
+                return
+            try:
+                req = self._pending.get_nowait()
+            except queue.Empty:
+                return
+            budget = min(req.max_new_tokens,
+                         self.engine.cache_len - len(req.prompt_tokens) - 2)
+            if budget <= 0 or len(req.prompt_tokens) >= self.engine.cache_len:
+                req.stream.finish("length")
+                continue
+            first = self.engine.prefill_lane(lane, req.prompt_tokens, 0,
+                                             req.temperature, req.top_p)
+            l = self._lanes[lane]
+            l.req = req
+            l.produced = 1
+            self._tokens[lane] = first
+            self._pos[lane] = len(req.prompt_tokens)
+            self._temps[lane] = req.temperature
+            self._topps[lane] = req.top_p
+            req.stream.push(first)
+            if first in self.stop_tokens:
+                self._finish_lane(lane, "stop")
+            else:
+                self._active[lane] = True
+
+    def _finish_lane(self, lane: int, reason: str) -> None:
+        l = self._lanes[lane]
+        if l.req is not None:
+            l.req.stream.finish(reason)
+        l.req = None
+        l.produced = 0
+        self._active[lane] = False
+
+    def _loop(self) -> None:
+        while not self._shutdown:
+            self._admit()
+            if not self._active.any():
+                self._wake.wait(timeout=0.05)
+                self._wake.clear()
+                continue
+            # bound the window by the tightest remaining budget so no lane
+            # overshoots (simpler than per-lane device budgets)
+            limits = [self._lanes[i].req.max_new_tokens - self._lanes[i].produced
+                      for i in range(self.B) if self._active[i]]
+            limit = max(1, min(min(limits), self.engine.decode_window))
+            slab = self.engine.decode_window_run(
+                self._tokens, self._pos, self._active, self.stop_tokens,
+                self._temps, self._topps, limit=limit)
+            for b in range(self.B):
+                l = self._lanes[b]
+                if l.req is None or not self._active[b]:
+                    continue
+                col = slab[:, b]
+                emitted = [int(t) for t in col[col >= 0]]
+                stopped = False
+                for t in emitted:
+                    l.req.stream.push(t)
+                    l.produced += 1
+                    if t in self.stop_tokens:
+                        stopped = True
+                        break
+                self._pos[b] += len(emitted)
+                if emitted:
+                    self._tokens[b] = emitted[-1]
+                if stopped:
+                    self._finish_lane(b, "stop")
+                elif l.produced >= l.req.max_new_tokens or self._pos[b] + 2 >= self.engine.cache_len:
+                    self._finish_lane(b, "length")

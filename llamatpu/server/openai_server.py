@@ -190,10 +190,19 @@ def serve(args) -> None:
     from llamatpu.runtime.engine import Engine
 
     model = load_model(args.model, max_tokens=args.max_tokens)
-    engine = Engine(model, impl=args.impl, prefill_chunk=args.prefill_chunk,
-                    cache_len=min(args.max_tokens, model.cfg.context_length)
-                    if args.max_tokens else None)
-    service = InferenceService(model, engine)
+    cache_len = (min(args.max_tokens, model.cfg.context_length)
+                 if args.max_tokens else None)
+    if getattr(args, "batch_size", 1) > 1:
+        from llamatpu.runtime.batch_engine import BatchEngine
+        from llamatpu.server.service import BatchedInferenceService
+
+        bengine = BatchEngine(model, batch_size=args.batch_size, impl=args.impl,
+                              prefill_chunk=args.prefill_chunk, cache_len=cache_len)
+        service = BatchedInferenceService(model, bengine)
+    else:
+        engine = Engine(model, impl=args.impl, prefill_chunk=args.prefill_chunk,
+                        cache_len=cache_len)
+        service = InferenceService(model, engine)
     model_id = model.metadata.get("general.name", "llamatpu")
     srv = make_server(service, args.host, args.port, model_id)
     print(f"llamatpu serving {model_id} on http://{args.host}:{args.port}")
