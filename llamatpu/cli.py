@@ -50,6 +50,12 @@ def build_parser() -> argparse.ArgumentParser:
     serve.add_argument("--batch-size", type=int, default=1,
                        help="continuous-batching slots")
 
+    ppl = sub.add_parser("ppl", help="perplexity evaluation")
+    common(ppl)
+    ppl.add_argument("--text-file", help="UTF-8 text file to evaluate")
+    ppl.add_argument("--text", help="inline text to evaluate")
+    ppl.add_argument("--chunk", type=int, default=128)
+
     bench = sub.add_parser("bench", help="llama-bench style pp/tg matrix")
     common(bench)
     bench.add_argument("--pp", type=int, nargs="*", default=[512], help="prompt lengths")
@@ -120,6 +126,21 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_ppl(args) -> int:
+    import json
+
+    from llamatpu.bench.perplexity import perplexity_of_text
+
+    if not args.text and not args.text_file:
+        print("error: --text or --text-file required", file=sys.stderr)
+        return 2
+    text = args.text or open(args.text_file, encoding="utf-8").read()
+    model, metrics, dtype = _load(args)
+    res = perplexity_of_text(model, text, chunk=args.chunk, impl=args.impl)
+    print(json.dumps({"ppl": round(res["ppl"], 4), "tokens": res["tokens"]}))
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.command == "run":
@@ -128,6 +149,8 @@ def main(argv=None) -> int:
         return cmd_serve(args)
     if args.command == "bench":
         return cmd_bench(args)
+    if args.command == "ppl":
+        return cmd_ppl(args)
     build_parser().print_help()
     return 1
 

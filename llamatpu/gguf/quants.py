@@ -201,8 +201,18 @@ _DEQUANT = {
 }
 
 
+_NATIVE_KIND = {
+    GGMLType.Q8_0: ("q8_0", 32),
+    GGMLType.Q4_0: ("q4_0", 32),
+    GGMLType.Q4_K: ("q4_k", QK_K),
+    GGMLType.Q5_K: ("q5_k", QK_K),
+    GGMLType.Q6_K: ("q6_k", QK_K),
+}
+
+
 def dequantize(ggml_type: GGMLType, raw: np.ndarray, n_elements: int) -> np.ndarray:
-    """Decode any supported GGML format to float32."""
+    """Decode any supported GGML format to float32 (native C++ codec when
+    available — llamatpu/gguf/native.py — numpy fallback otherwise)."""
     if ggml_type == GGMLType.F32:
         return np.ascontiguousarray(raw[: n_elements * 4]).view(np.float32).copy()
     if ggml_type == GGMLType.F16:
@@ -210,6 +220,13 @@ def dequantize(ggml_type: GGMLType, raw: np.ndarray, n_elements: int) -> np.ndar
     if ggml_type == GGMLType.BF16:
         u = np.ascontiguousarray(raw[: n_elements * 2]).view(np.uint16).astype(np.uint32) << 16
         return u.view(np.float32)
+    if ggml_type in _NATIVE_KIND:
+        from llamatpu.gguf import native
+
+        kind, bs = _NATIVE_KIND[ggml_type]
+        out = native.dequant(kind, raw, n_elements // bs, bs)
+        if out is not None:
+            return out
     fn = _DEQUANT.get(ggml_type)
     if fn is None:
         raise NotImplementedError(f"dequantize: {ggml_type!r} not supported")

@@ -1,0 +1,44 @@
+"""Native C++ quant codecs vs numpy codecs — bit parity."""
+import numpy as np
+import pytest
+
+from llamatpu.gguf import GGMLType, native, quants
+
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="native lib not built")
+
+
+@pytest.mark.parametrize("kind,ggml_type,block_bytes,block_elems", [
+    ("q8_0", GGMLType.Q8_0, 34, 32),
+    ("q4_0", GGMLType.Q4_0, 18, 32),
+    ("q4_k", GGMLType.Q4_K, 144, 256),
+    ("q5_k", GGMLType.Q5_K, 176, 256),
+    ("q6_k", GGMLType.Q6_K, 210, 256),
+])
+def test_native_dequant_matches_numpy(kind, ggml_type, block_bytes, block_elems):
+    nb = 7
+    raw = np.random.default_rng(int(ggml_type)).integers(0, 256, nb * block_bytes, dtype=np.uint8)
+    got = native.dequant(kind, raw, nb, block_elems)
+    want = quants._DEQUANT[ggml_type](raw, nb * block_elems)
+    np.testing.assert_array_equal(
+        np.nan_to_num(got, posinf=1e30, neginf=-1e30),
+        np.nan_to_num(want, posinf=1e30, neginf=-1e30))
+
+
+def test_native_quantize_q8_0_matches_numpy():
+    x = np.random.default_rng(3).normal(size=512).astype(np.float32)
+    got = native.quantize_q8_0(x)
+    want = quants.quantize_q8_0(x)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("kind,encoder", [("q8_0", quants.quantize_q8_0),
+                                          ("q4_0", quants.quantize_q4_0)])
+def test_native_depack_matches_numpy(kind, encoder):
+    x = np.random.default_rng(4).normal(size=256).astype(np.float32)
+    raw = encoder(x)
+    qs, scales = native.depack(kind, raw, 8)
+    view_fn = quants.q8_0_views if kind == "q8_0" else quants.q4_0_views
+    qs_np, scales_np = view_fn(raw, 256)
+    np.testing.assert_array_equal(qs, qs_np)
+    np.testing.assert_array_equal(scales, scales_np.astype(np.float32))
