@@ -29,6 +29,13 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--seed", type=int, default=42)
         sp.add_argument("--metrics-format", choices=["human", "json", "github", "none"],
                         default="human")
+        sp.add_argument("--tp", type=int, default=0,
+                        help="tensor-parallel degree (0 = single device)")
+        sp.add_argument("--dp", type=int, default=1, help="data-parallel degree")
+        sp.add_argument("--profile-dir", default=None,
+                        help="capture a jax.profiler trace into this directory")
+        sp.add_argument("--dump-hlo", default=None,
+                        help="write the decode program's HLO to this file")
 
     run = sub.add_parser("run", help="single-prompt or interactive generation")
     common(run)
@@ -84,6 +91,18 @@ def _load(args, max_tokens=None):
     return model, metrics, dtype
 
 
+def _mesh(args):
+    """Build a (dp, tp) mesh when parallelism is requested (multi-host init
+    happens automatically via env — parallel/distributed.py)."""
+    if getattr(args, "tp", 0) <= 1 and getattr(args, "dp", 1) <= 1:
+        return None
+    from llamatpu.parallel import make_mesh
+    from llamatpu.parallel.distributed import initialize
+
+    initialize()
+    return make_mesh(tp=max(args.tp, 1), dp=max(args.dp, 1))
+
+
 def cmd_run(args) -> int:
     import jax.numpy as jnp
 
@@ -97,16 +116,25 @@ def cmd_run(args) -> int:
     engine = Engine(model, impl=args.impl, temperature=temp, top_p=top_p,
                     seed=args.seed, prefill_chunk=args.prefill_chunk,
                     cache_dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
-                    metrics=metrics)
-    if args.interactive:
-        run_interactive(model, engine, args.system_prompt, args.max_tokens)
-    else:
-        if not args.prompt:
-            print("error: --prompt required (or --interactive)", file=sys.stderr)
-            return 2
-        run_instruct_once(model, engine, args.prompt, args.system_prompt,
-                          max_new_tokens=args.max_tokens, stream=args.stream,
-                          echo=args.echo, enable_thinking=not args.no_thinking)
+                    metrics=metrics, mesh=_mesh(args))
+    if args.dump_hlo:
+        from llamatpu.utils.profiling import dump_decode_hlo
+
+        dump_decode_hlo(engine, args.dump_hlo)
+        print(f"wrote decode HLO to {args.dump_hlo}", file=sys.stderr)
+
+    from llamatpu.utils.profiling import trace
+
+    with trace(args.profile_dir):
+        if args.interactive:
+            run_interactive(model, engine, args.system_prompt, args.max_tokens)
+        else:
+            if not args.prompt:
+                print("error: --prompt required (or --interactive)", file=sys.stderr)
+                return 2
+            run_instruct_once(model, engine, args.prompt, args.system_prompt,
+                              max_new_tokens=args.max_tokens, stream=args.stream,
+                              echo=args.echo, enable_thinking=not args.no_thinking)
     if args.metrics_format != "none":
         metrics.render(args.metrics_format)
     return 0

@@ -63,6 +63,7 @@ class Engine:
         aot_compile: bool = True,
         metrics: RunMetrics | None = None,
         decode_window: int = 16,
+        mesh=None,
     ):
         self.model = model
         self.cfg = model.cfg
@@ -77,16 +78,30 @@ class Engine:
         self.decode_window = max(1, int(decode_window))
         self._rng = jax.random.PRNGKey(seed)
         self._progs: dict[bool, tuple] = {}
+        self.mesh = mesh  # jax.sharding.Mesh for tensor/data parallelism
 
         with Timer() as t:
-            self.weights = jax.device_put(model.weights)
+            if mesh is not None:
+                from llamatpu.parallel import shard_model
+
+                self.weights = shard_model(model.weights, self.cfg, mesh)
+            else:
+                self.weights = jax.device_put(model.weights)
             jax.block_until_ready(jax.tree.leaves(self.weights))
         self.metrics.weight_upload_s = t.elapsed
 
-        self.cache = init_cache(self.cfg, batch_size, cache_dtype, self.cache_len)
+        self.cache = self._new_cache()
 
         if aot_compile:
             self._aot_compile()
+
+    def _new_cache(self):
+        cache = init_cache(self.cfg, self.batch_size, self.cache_dtype, self.cache_len)
+        if self.mesh is not None:
+            from llamatpu.parallel import cache_shardings
+
+            cache = jax.device_put(cache, cache_shardings(self.cfg, self.mesh))
+        return cache
 
     # ------------------------------------------------------------------
     def _programs(self, greedy: bool):
@@ -164,7 +179,7 @@ class Engine:
 
     # ------------------------------------------------------------------
     def reset(self, seed: int | None = None) -> None:
-        self.cache = init_cache(self.cfg, self.batch_size, self.cache_dtype, self.cache_len)
+        self.cache = self._new_cache()
         if seed is not None:
             self._rng = jax.random.PRNGKey(seed)
 
