@@ -77,6 +77,23 @@ def bench_tg(engine, n: int, depth: int, reps: int, warmup: int = 1) -> BenchRes
                        statistics.mean(times), statistics.pstdev(times))
 
 
+def bench_tg_batch(batch_engine, n: int, depth: int, reps: int, warmup: int = 1) -> BenchResult:
+    """Aggregate batched decode throughput: B lanes decode n tokens each
+    (the reference's static-batched-decode claim, README.md:74)."""
+    B = batch_engine.batch_size
+    vocab = batch_engine.cfg.vocab_size
+    prompts = [_rand_tokens(max(depth, 4), vocab, seed=100 + b) for b in range(B)]
+    times = []
+    for rep in range(warmup + reps):
+        t0 = time.perf_counter()
+        outs = batch_engine.generate_batch(prompts, n)
+        dt = time.perf_counter() - t0
+        if rep >= warmup:
+            times.append(dt)
+    total = B * n
+    return BenchResult(f"tg{n}@b{B}", total, statistics.mean(times), statistics.pstdev(times))
+
+
 def render(results: list[BenchResult], fmt: str, model_name: str, quant: str) -> str:
     rows = [
         {"model": model_name, "quant": quant, "test": r.test, "n": r.n_tokens,
@@ -128,5 +145,12 @@ def run_bench(args) -> None:
             results.append(bench_pp(engine, p, d, args.reps))
         for t in args.tg:
             results.append(bench_tg(engine, t, d, args.reps))
+    if getattr(args, "batch", 1) > 1:
+        from llamatpu.runtime.batch_engine import BatchEngine
+
+        be = BatchEngine(model, batch_size=args.batch, cache_len=cache_len,
+                         impl=args.impl, prefill_chunk=args.prefill_chunk)
+        for t in args.tg:
+            results.append(bench_tg_batch(be, t, max(args.depth), args.reps))
     name = model.metadata.get("general.name", "unknown")
     print(render(results, args.output, name, model.quant_label))

@@ -85,14 +85,18 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_error_json(400, f"Invalid JSON body: {e}")
             return
 
-        messages: list[Message] = []
+        messages: list = []
+        tools_json = None
         if chat:
             msgs = body.get("messages")
             if not isinstance(msgs, list) or not msgs:
                 self._send_error_json(400, "'messages' must be a non-empty array")
                 return
-            for m in msgs:
-                messages.append(Message(str(m.get("role", "user")), str(m.get("content", ""))))
+            messages = [m if isinstance(m, dict) else {"role": "user", "content": str(m)}
+                        for m in msgs]
+            tools = body.get("tools")
+            if isinstance(tools, list) and tools:
+                tools_json = json.dumps(tools)
         else:
             prompt = body.get("prompt", "")
             if not isinstance(prompt, str) or not prompt:
@@ -107,6 +111,7 @@ class _Handler(BaseHTTPRequestHandler):
             top_p=float(body.get("top_p", 0.95)),
             seed=int(body.get("seed", 1234)),
             raw_prompt=not chat,
+            tools_json=tools_json,
         )
         rid = self._next_id("chatcmpl-" if chat else "cmpl-")
         created = int(time.time())
@@ -123,9 +128,20 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_error_json(500, f"generation failed: {e}")
             return
         if chat:
-            choice = {"index": 0,
-                      "message": {"role": "assistant", "content": r.text},
-                      "finish_reason": r.finish_reason}
+            message = {"role": "assistant", "content": r.text}
+            finish = r.finish_reason
+            if req.tools_json:
+                fmt = self.service.model.chat_format
+                calls = fmt.extract_all_tool_calls(r.text)
+                if calls:
+                    message = {"role": "assistant", "content": None,
+                               "tool_calls": [
+                                   {"id": f"call_{i}", "type": "function",
+                                    "function": {"name": tc.name,
+                                                 "arguments": tc.arguments_json}}
+                                   for i, tc in enumerate(calls)]}
+                    finish = "tool_calls"
+            choice = {"index": 0, "message": message, "finish_reason": finish}
             obj = "chat.completion"
         else:
             choice = {"index": 0, "text": r.text, "finish_reason": r.finish_reason}

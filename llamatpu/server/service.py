@@ -19,12 +19,13 @@ from llamatpu.tokenizer.stream import StreamDecoder
 
 @dataclass
 class Request:
-    messages: list[Message]
+    messages: list  # Message objects or raw dicts (role/content/tool_calls/...)
     max_tokens: int = 256
     temperature: float = 0.0
     top_p: float = 0.95
     seed: int = 1234
     raw_prompt: bool = False  # /v1/completions: no chat template
+    tools_json: str | None = None  # JSON array of tool definitions (OpenAI style)
 
 
 @dataclass
@@ -35,26 +36,79 @@ class Result:
     finish_reason: str  # "stop" | "length"
 
 
+def _msg_dict(m) -> dict:
+    return m if isinstance(m, dict) else {"role": m.role, "content": m.content}
+
+
 def encode_request(model: LoadedModel, req: Request) -> list[int]:
-    """Build the prompt token ids for a request (chat template or raw)."""
+    """Build the prompt token ids for a request: chat template (with tool
+    injection + tool-turn re-encoding per the family format) or raw prompt."""
+    from llamatpu.format.tool_parser import ToolCall
+
     fmt = model.chat_format
     tok = model.tokenizer
     if req.raw_prompt:
-        prompt_text = "".join(m.content for m in req.messages)
+        prompt_text = "".join(_msg_dict(m).get("content", "") for m in req.messages)
         tokens = []
         bot = fmt.begin_of_text()
         if fmt.add_begin_of_text and bot >= 0:
             tokens.append(bot)
         tokens += tok.encode(prompt_text, allowed_special="all")
         return tokens
+
+    msgs = [_msg_dict(m) for m in req.messages]
     system = None
-    msgs = []
-    for m in req.messages:
-        if m.role == "system":
-            system = m.content
+    rest = []
+    for m in msgs:
+        if m.get("role") == "system" and system is None:
+            system = m.get("content", "")
         else:
-            msgs.append(m)
-    return fmt.build_prompt(msgs, system_prompt=system)
+            rest.append(m)
+
+    first_user_prefix = ""
+    tools = req.tools_json if (req.tools_json and fmt.supports_tool_calling()) else None
+    if tools:
+        if fmt.injects_tools_in_user_message():
+            system = fmt.tool_system_message_prefix() + (system or "")
+            first_user_prefix = fmt.tool_first_user_message_prefix(tools)
+        else:
+            system = (system or "") + fmt.tool_system_prompt_suffix(tools)
+
+    tokens: list[int] = []
+    bot = fmt.begin_of_text()
+    if fmt.add_begin_of_text and bot >= 0:
+        tokens.append(bot)
+    if system is not None and fmt.add_system_prompt:
+        tokens.extend(fmt.encode_message(Message("system", system)))
+
+    seen_user = False
+    for m in rest:
+        role = m.get("role", "user")
+        if role == "assistant" and m.get("tool_calls"):
+            calls = [ToolCall(tc["function"]["name"], tc["function"].get("arguments", "{}"),
+                              tc.get("id", ""))
+                     for tc in m["tool_calls"]]
+            tokens.extend(fmt.encode_tool_call_assistant_turn(calls))
+        elif role == "tool":
+            tokens.extend(fmt.encode_tool_result_turn(
+                m.get("tool_call_id", ""), m.get("name", ""), m.get("content", "")))
+        else:
+            content = m.get("content", "")
+            if role == "user" and not seen_user and first_user_prefix:
+                content = first_user_prefix + content
+                seen_user = True
+            tokens.extend(fmt.encode_message(Message(role, content)))
+    tokens.extend(fmt.encode_header(Message("assistant", "")))
+    if fmt.include_reasoning:
+        tokens.extend(tok.encode("<think>\n", allowed_special="all"))
+    return tokens
+
+
+def stop_tokens_for(model: LoadedModel, req: Request) -> set[int]:
+    fmt = model.chat_format
+    if req.tools_json and fmt.supports_tool_calling():
+        return fmt.tool_aware_stop_tokens()
+    return fmt.stop_tokens()
 
 
 class InferenceService:
@@ -85,8 +139,8 @@ class InferenceService:
                         on_piece(text)
 
             res = engine.generate(
-                tokens, budget, stop_tokens=fmt.stop_tokens(), on_token=on_token,
-                temperature=req.temperature, top_p=req.top_p)
+                tokens, budget, stop_tokens=stop_tokens_for(self.model, req),
+                on_token=on_token, temperature=req.temperature, top_p=req.top_p)
             tail = sd.flush()
             if tail:
                 pieces.append(tail)
