@@ -37,10 +37,11 @@ from llamatpu.ops.rope import apply_rope
 class KVCache:
     """Preallocated per-layer KV cache (reference: State.keyCache/valueCache,
     inference/state/State.java:44-45, flattened [L][ctx*kvDim]; here
-    [L, B, ctx, n_kv, head_dim] so attention indexes heads natively)."""
+    [L, B, n_kv, ctx, head_dim]: head-major so each kv head's stripe is
+    contiguous for the Pallas decode-attention kernel and per-head reads)."""
 
-    k: jax.Array  # [L, B, S, n_kv, head_dim]
-    v: jax.Array  # [L, B, S, n_kv, v_head_dim]
+    k: jax.Array  # [L, B, n_kv, S, head_dim]
+    v: jax.Array  # [L, B, n_kv, S, v_head_dim]
 
     @property
     def batch(self) -> int:
@@ -48,34 +49,34 @@ class KVCache:
 
     @property
     def length(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
 
 def init_cache(cfg: ModelConfig, batch: int, dtype=jnp.bfloat16, length: int | None = None) -> KVCache:
     s = length or cfg.context_length
     return KVCache(
-        k=jnp.zeros((cfg.n_layers, batch, s, cfg.n_kv_heads, cfg.head_dim), dtype),
-        v=jnp.zeros((cfg.n_layers, batch, s, cfg.n_kv_heads, cfg.v_head_dim), dtype),
+        k=jnp.zeros((cfg.n_layers, batch, cfg.n_kv_heads, s, cfg.head_dim), dtype),
+        v=jnp.zeros((cfg.n_layers, batch, cfg.n_kv_heads, s, cfg.v_head_dim), dtype),
     )
 
 
 def _attention(cfg: ModelConfig, q, kc, vc, pos_vec, t_len):
     """Masked GQA attention over the full cache.
 
-    q: [B, T, KV, G, hd]; kc: [B, S, KV, hd]; vc: [B, S, KV, vhd];
+    q: [B, T, KV, G, hd]; kc: [B, KV, S, hd]; vc: [B, KV, S, vhd];
     pos_vec: [B] per-sequence start positions. Valid keys for query t of
     sequence b: absolute s <= pos_vec[b] + t (reference loops t=0..position,
     InferenceCore.java:108-137). f32 scores/softmax.
     """
     scale = cfg.attn_score_scale
-    scores = jnp.einsum("btkgh,bskh->bkgts", q.astype(jnp.float32), kc.astype(jnp.float32)) * scale
-    s_len = kc.shape[1]
+    scores = jnp.einsum("btkgh,bksh->bkgts", q.astype(jnp.float32), kc.astype(jnp.float32)) * scale
+    s_len = kc.shape[2]
     t_idx = jnp.arange(t_len)[None, :, None]
     s_idx = jnp.arange(s_len)[None, None, :]
     mask = s_idx <= (pos_vec[:, None, None] + t_idx)  # [B, T, S]
     scores = jnp.where(mask[:, None, None], scores, -jnp.inf)
     att = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bkgts,bskv->btkgv", att, vc.astype(jnp.float32))
+    out = jnp.einsum("bkgts,bksv->btkgv", att, vc.astype(jnp.float32))
     return out  # [B, T, KV, G, vhd] f32
 
 
@@ -168,11 +169,19 @@ def forward_tokens(cfg: ModelConfig, weights, tokens, cache: KVCache, pos, impl=
         q = apply_rope(q, cos, sin, cfg.rope_style)
         k = apply_rope(k, cos, sin, cfg.rope_style)
 
-        upd = jax.vmap(lambda c, new, p: jax.lax.dynamic_update_slice(c, new, (p, 0, 0)))
-        kc = upd(kc, k.astype(kc.dtype), pos_vec)
-        vc = upd(vc, v.astype(vc.dtype), pos_vec)
+        # write [B, T, KV, hd] -> head-major cache [B, KV, S, hd] at per-seq pos
+        upd = jax.vmap(lambda c, new, p: jax.lax.dynamic_update_slice(c, new, (0, p, 0)))
+        kc = upd(kc, k.astype(kc.dtype).transpose(0, 2, 1, 3), pos_vec)
+        vc = upd(vc, v.astype(vc.dtype).transpose(0, 2, 1, 3), pos_vec)
 
-        attn = _attention(cfg, q.reshape(b, t, kv, g, cfg.head_dim), kc, vc, pos_vec, t)
+        if impl == "pallas" and t == 1:
+            from llamatpu.ops.pallas_attention import decode_attention_auto
+
+            attn = decode_attention_auto(
+                q.reshape(b, kv, g, cfg.head_dim), kc, vc, pos_vec,
+                cfg.attn_score_scale).reshape(b, t, kv, g, cfg.v_head_dim)
+        else:
+            attn = _attention(cfg, q.reshape(b, t, kv, g, cfg.head_dim), kc, vc, pos_vec, t)
         attn = attn.reshape(b, t, kv * g * cfg.v_head_dim).astype(x.dtype)
         attn_out = matmul(lw["wo"], attn, impl)
         if cfg.residual_scale != 1.0:

@@ -71,10 +71,10 @@ def weight_shardings(cfg: ModelConfig, mesh: Mesh, weights: dict) -> dict:
 
 
 def cache_shardings(cfg: ModelConfig, mesh: Mesh):
-    """KVCache sharding: [L, B, S, n_kv, hd] -> batch on dp, kv heads on tp."""
+    """KVCache sharding: [L, B, n_kv, S, hd] -> batch on dp, kv heads on tp."""
     from llamatpu.models.transformer import KVCache
 
-    spec = NamedSharding(mesh, P(None, "dp", None, "tp", None))
+    spec = NamedSharding(mesh, P(None, "dp", "tp", None, None))
     return KVCache(spec, spec)
 
 
