@@ -25,7 +25,7 @@ def main() -> None:
     pp, tg = 512, 128
     model = build_synthetic_model("llama32-1b", quant="q8_0", context_length=1024)
     engine = Engine(model, cache_len=1024, prefill_chunk=512, temperature=0.0,
-                    decode_window=64, impl="pallas", aot_compile=True)
+                    decode_window=128, impl="pallas", aot_compile=True)
 
     rng = np.random.default_rng(42)
     prompt = rng.integers(0, model.cfg.vocab_size, pp).tolist()

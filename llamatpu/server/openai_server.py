@@ -179,14 +179,35 @@ class _Handler(BaseHTTPRequestHandler):
         if chat:  # first chunk carries the assistant role
             write_chunk(self._chunk(rid, obj, created, {"role": "assistant"}, None, chat))
 
+        # with tools active, buffer the output so a tool call can be emitted as
+        # OpenAI delta.tool_calls instead of raw <tool_call> text
+        buffer_tools = chat and bool(req.tools_json)
+        buffered: list[str] = []
+
         def on_piece(piece: str):
+            if buffer_tools:
+                buffered.append(piece)
+                return
             delta = {"content": piece} if chat else {"text": piece}
             write_chunk(self._chunk(rid, obj, created, delta, None, chat))
 
         try:
             r = self.service.generate(req, on_piece=on_piece)
+            finish = r.finish_reason
+            if buffer_tools:
+                text = "".join(buffered)
+                calls = self.service.model.chat_format.extract_all_tool_calls(text)
+                if calls:
+                    delta = {"tool_calls": [
+                        {"index": i, "id": f"call_{i}", "type": "function",
+                         "function": {"name": tc.name, "arguments": tc.arguments_json}}
+                        for i, tc in enumerate(calls)]}
+                    write_chunk(self._chunk(rid, obj, created, delta, None, chat))
+                    finish = "tool_calls"
+                elif text:
+                    write_chunk(self._chunk(rid, obj, created, {"content": text}, None, chat))
             final_delta = {} if chat else {"text": ""}
-            write_chunk(self._chunk(rid, obj, created, final_delta, r.finish_reason, chat))
+            write_chunk(self._chunk(rid, obj, created, final_delta, finish, chat))
             write_chunk(b"data: [DONE]\n\n")
         finally:
             self.wfile.write(b"0\r\n\r\n")
