@@ -32,6 +32,10 @@ def matmul(w, x: jnp.ndarray, impl: str = "xla") -> jnp.ndarray:
             from llamatpu.ops.pallas_matmul import quant_matmul_pallas
 
             return quant_matmul_pallas(w, x)
+        if impl == "int8" and w.kind == "q8_0":
+            from llamatpu.ops.int8_matmul import quant_matmul_int8
+
+            return quant_matmul_int8(w, x)
         wd = w.dequant(jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32)
     else:
         wd = w
