@@ -56,6 +56,11 @@ def build_parser() -> argparse.ArgumentParser:
     serve.add_argument("--port", type=int, default=8080)
     serve.add_argument("--batch-size", type=int, default=1,
                        help="continuous-batching slots")
+    serve.add_argument("--paged", action="store_true",
+                       help="paged KV cache (shared block pool across lanes)")
+    serve.add_argument("--kv-blocks", type=int, default=0,
+                       help="paged pool size in blocks (0 = auto)")
+    serve.add_argument("--kv-block-size", type=int, default=16)
 
     ppl = sub.add_parser("ppl", help="perplexity evaluation")
     common(ppl)

@@ -127,17 +127,21 @@ def _moe_ffn(cfg: ModelConfig, h, lw, impl):
     return out.astype(h.dtype).reshape(b, t, d)
 
 
-def forward_tokens(cfg: ModelConfig, weights, tokens, cache: KVCache, pos, impl="xla",
-                   last_logit_only=False, logit_index=None):
+def forward_tokens(cfg: ModelConfig, weights, tokens, cache, pos, impl="xla",
+                   last_logit_only=False, logit_index=None, tables=None):
     """Run T tokens at absolute positions pos..pos+T-1 through the full model.
 
     tokens: int32 [B, T]; pos: scalar int32 OR per-sequence vector [B] (the
     continuous-batching path decodes sequences sitting at different positions);
+    cache: KVCache, or PagedKVCache with `tables` [B, MAXBLK] block tables;
     returns (logits f32, new cache).
     logits: [B, T, vocab], or [B, vocab] when last_logit_only (static index -1)
     or logit_index (traced scalar — used by chunked prefill to pick the last
     REAL token's logits inside a padded final chunk).
     """
+    from llamatpu.runtime.paged_cache import PagedKVCache, paged_gather, paged_write
+
+    paged = isinstance(cache, PagedKVCache)
     b, t = tokens.shape
     pos_vec = jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(pos)), (b,))
     x = weights["tok_emb"][tokens]  # [B, T, D]
@@ -169,19 +173,27 @@ def forward_tokens(cfg: ModelConfig, weights, tokens, cache: KVCache, pos, impl=
         q = apply_rope(q, cos, sin, cfg.rope_style)
         k = apply_rope(k, cos, sin, cfg.rope_style)
 
-        # write [B, T, KV, hd] -> head-major cache [B, KV, S, hd] at per-seq pos
-        upd = jax.vmap(lambda c, new, p: jax.lax.dynamic_update_slice(c, new, (0, p, 0)))
-        kc = upd(kc, k.astype(kc.dtype).transpose(0, 2, 1, 3), pos_vec)
-        vc = upd(vc, v.astype(vc.dtype).transpose(0, 2, 1, 3), pos_vec)
+        if paged:
+            bs = cache.block_size
+            kc = paged_write(kc, k.astype(kc.dtype), tables, pos_vec, bs)
+            vc = paged_write(vc, v.astype(vc.dtype), tables, pos_vec, bs)
+            kd = paged_gather(kc, tables)
+            vd = paged_gather(vc, tables)
+        else:
+            # write [B, T, KV, hd] -> head-major cache [B, KV, S, hd] at per-seq pos
+            upd = jax.vmap(lambda c, new, p: jax.lax.dynamic_update_slice(c, new, (0, p, 0)))
+            kc = upd(kc, k.astype(kc.dtype).transpose(0, 2, 1, 3), pos_vec)
+            vc = upd(vc, v.astype(vc.dtype).transpose(0, 2, 1, 3), pos_vec)
+            kd, vd = kc, vc
 
         if impl == "pallas" and t == 1:
             from llamatpu.ops.pallas_attention import decode_attention_auto
 
             attn = decode_attention_auto(
-                q.reshape(b, kv, g, cfg.head_dim), kc, vc, pos_vec,
+                q.reshape(b, kv, g, cfg.head_dim), kd, vd, pos_vec,
                 cfg.attn_score_scale).reshape(b, t, kv, g, cfg.v_head_dim)
         else:
-            attn = _attention(cfg, q.reshape(b, t, kv, g, cfg.head_dim), kc, vc, pos_vec, t)
+            attn = _attention(cfg, q.reshape(b, t, kv, g, cfg.head_dim), kd, vd, pos_vec, t)
         attn = attn.reshape(b, t, kv * g * cfg.v_head_dim).astype(x.dtype)
         attn_out = matmul(lw["wo"], attn, impl)
         if cfg.residual_scale != 1.0:
@@ -195,7 +207,15 @@ def forward_tokens(cfg: ModelConfig, weights, tokens, cache: KVCache, pos, impl=
         x = x + ffn
         return x, (kc, vc)
 
-    x, (k_new, v_new) = jax.lax.scan(layer_fn, x, (weights["layers"], cache.k, cache.v))
+    if paged:
+        x, (k_new, v_new) = jax.lax.scan(layer_fn, x,
+                                         (weights["layers"], cache.k_pool, cache.v_pool))
+        from llamatpu.runtime.paged_cache import PagedKVCache as _P
+
+        new_cache = _P(k_new, v_new, cache.block_size)
+    else:
+        x, (k_new, v_new) = jax.lax.scan(layer_fn, x, (weights["layers"], cache.k, cache.v))
+        new_cache = KVCache(k_new, v_new)
 
     if logit_index is not None:
         x = jax.vmap(lambda xb: jax.lax.dynamic_index_in_dim(xb, logit_index, axis=0, keepdims=False))(x)
@@ -205,4 +225,4 @@ def forward_tokens(cfg: ModelConfig, weights, tokens, cache: KVCache, pos, impl=
     logits = matmul(weights["wcls"], x, impl).astype(jnp.float32)
     if cfg.logit_scale != 1.0:
         logits = logits * cfg.logit_scale
-    return logits, KVCache(k_new, v_new)
+    return logits, new_cache

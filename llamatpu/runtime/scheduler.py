@@ -75,6 +75,7 @@ class ContinuousBatcher:
         self.B = engine.batch_size
         self._lanes = [_Lane() for _ in range(self.B)]
         self._pending: queue.Queue[BatchRequest] = queue.Queue()
+        self._backlog: list[BatchRequest] = []
         self._tokens = np.zeros(self.B, np.int32)
         self._pos = np.zeros(self.B, np.int32)
         self._active = np.zeros(self.B, bool)
@@ -109,15 +110,22 @@ class ContinuousBatcher:
             lane = self._free_lane()
             if lane is None:
                 return
-            try:
-                req = self._pending.get_nowait()
-            except queue.Empty:
-                return
+            req = self._backlog.pop(0) if self._backlog else None
+            if req is None:
+                try:
+                    req = self._pending.get_nowait()
+                except queue.Empty:
+                    return
             budget = min(req.max_new_tokens,
                          self.engine.cache_len - len(req.prompt_tokens) - 2)
             if budget <= 0 or len(req.prompt_tokens) >= self.engine.cache_len:
                 req.stream.finish("length")
                 continue
+            can_admit = getattr(self.engine, "can_admit", None)
+            if can_admit is not None and not can_admit(len(req.prompt_tokens)):
+                # paged pool backpressure: hold until blocks free up
+                self._backlog.append(req)
+                return
             first = self.engine.prefill_lane(lane, req.prompt_tokens, 0,
                                              req.temperature, req.top_p)
             l = self._lanes[lane]
@@ -140,6 +148,9 @@ class ContinuousBatcher:
         l.req = None
         l.produced = 0
         self._active[lane] = False
+        release = getattr(self.engine, "release_lane", None)
+        if release is not None:
+            release(lane)  # paged pool: recycle the lane's blocks
 
     def _loop(self) -> None:
         while not self._shutdown:

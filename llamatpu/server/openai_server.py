@@ -230,11 +230,21 @@ def serve(args) -> None:
     cache_len = (min(args.max_tokens, model.cfg.context_length)
                  if args.max_tokens else None)
     if getattr(args, "batch_size", 1) > 1:
-        from llamatpu.runtime.batch_engine import BatchEngine
         from llamatpu.server.service import BatchedInferenceService
 
-        bengine = BatchEngine(model, batch_size=args.batch_size, impl=args.impl,
-                              prefill_chunk=args.prefill_chunk, cache_len=cache_len)
+        if getattr(args, "paged", False):
+            from llamatpu.runtime.paged_engine import PagedBatchEngine
+
+            bengine = PagedBatchEngine(
+                model, batch_size=args.batch_size, impl=args.impl,
+                prefill_chunk=args.prefill_chunk, max_len=cache_len,
+                n_blocks=getattr(args, "kv_blocks", 0) or None,
+                block_size=getattr(args, "kv_block_size", 16))
+        else:
+            from llamatpu.runtime.batch_engine import BatchEngine
+
+            bengine = BatchEngine(model, batch_size=args.batch_size, impl=args.impl,
+                                  prefill_chunk=args.prefill_chunk, cache_len=cache_len)
         service = BatchedInferenceService(model, bengine)
     else:
         engine = Engine(model, impl=args.impl, prefill_chunk=args.prefill_chunk,

@@ -1,0 +1,61 @@
+"""Paged KV cache: paged batched generation must equal dense batched
+generation exactly; blocks are recycled; the pool backpressures admission."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import tiny_models
+from llamatpu.gguf import GGMLType
+from llamatpu.models import loader as mloader
+from llamatpu.runtime.batch_engine import BatchEngine
+from llamatpu.runtime.paged_engine import PagedBatchEngine
+from llamatpu.runtime.scheduler import BatchRequest, ContinuousBatcher
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    path = tmp_path_factory.mktemp("pg") / "m.gguf"
+    tiny_models.build_tiny_gguf(path, family="llama", quant=GGMLType.F32, seed=37)
+    return mloader.load_model(str(path), mode="dequant", param_dtype=jnp.float32,
+                              load_tokenizer=False)
+
+
+def test_paged_matches_dense(model):
+    prompts = [[5, 9, 23], [41, 8], [2, 30, 7, 19]]
+    dense = BatchEngine(model, batch_size=4, cache_dtype=jnp.float32,
+                        decode_window=4).generate_batch(prompts, 6)
+    paged = PagedBatchEngine(model, batch_size=4, block_size=8,
+                             cache_dtype=jnp.float32, decode_window=4)
+    outs = paged.generate_batch(prompts, 6)
+    assert outs == dense
+
+
+def test_paged_block_boundary_crossing(model):
+    # block_size 4 forces several block crossings during prefill AND decode
+    prompts = [[5, 9, 23, 41, 8, 2, 30]]
+    dense = BatchEngine(model, batch_size=1, cache_dtype=jnp.float32,
+                        decode_window=4).generate_batch(prompts, 8)
+    paged = PagedBatchEngine(model, batch_size=1, block_size=4,
+                             cache_dtype=jnp.float32, decode_window=4,
+                             prefill_chunk=4)
+    assert paged.generate_batch(prompts, 8) == dense
+
+
+def test_blocks_recycled_and_backpressure(model):
+    # pool holds only ~1.5 lanes' worth of blocks: second request must wait
+    # until the first lane's blocks are released, then still be exact
+    e = PagedBatchEngine(model, batch_size=2, block_size=8, n_blocks=7,
+                         cache_dtype=jnp.float32, decode_window=4, max_len=24)
+    batcher = ContinuousBatcher(e, stop_tokens=set())
+    dense = BatchEngine(model, batch_size=1, cache_dtype=jnp.float32,
+                        decode_window=4)
+    refs = [dense.generate_batch([p], 5)[0] for p in ([1, 2, 3], [4, 5, 6])]
+    dense.reset()
+    s1 = batcher.submit(BatchRequest([1, 2, 3], 5))
+    s2 = batcher.submit(BatchRequest([4, 5, 6], 5))
+    out1, out2 = list(s1), list(s2)
+    batcher.shutdown()
+    assert out1 == refs[0]
+    assert out2 == refs[1]
+    assert e.alloc.free_blocks() == 6  # everything recycled (7 - trash)
