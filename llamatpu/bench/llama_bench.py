@@ -77,6 +77,30 @@ def bench_tg(engine, n: int, depth: int, reps: int, warmup: int = 1) -> BenchRes
                        statistics.mean(times), statistics.pstdev(times))
 
 
+def bench_pg(engine, p: int, t: int, reps: int, warmup: int = 1) -> BenchResult:
+    """Combined prompt+generation window (reference `pg p+t` spec,
+    LlamaBench.java): timed prefill of p tokens followed by t decoded tokens."""
+    toks = _rand_tokens(p, engine.cfg.vocab_size)
+    times = []
+    for rep in range(warmup + reps):
+        engine.reset()
+        t0 = time.perf_counter()
+        tok, _ = engine.prefill(toks, 0)
+        cur = int(tok[0])
+        pos, n = p, 0
+        while n < t:
+            w = engine.decode_window_run(cur, pos, t - n)
+            if not w:
+                break
+            cur = w[-1]
+            pos += len(w)
+            n += len(w)
+        dt = time.perf_counter() - t0
+        if rep >= warmup:
+            times.append(dt)
+    return BenchResult(f"pg{p}+{t}", p + t, statistics.mean(times), statistics.pstdev(times))
+
+
 def bench_tg_batch(batch_engine, n: int, depth: int, reps: int, warmup: int = 1) -> BenchResult:
     """Aggregate batched decode throughput: B lanes decode n tokens each
     (the reference's static-batched-decode claim, README.md:74)."""
@@ -145,6 +169,9 @@ def run_bench(args) -> None:
             results.append(bench_pp(engine, p, d, args.reps))
         for t in args.tg:
             results.append(bench_tg(engine, t, d, args.reps))
+    for spec in getattr(args, "pg", []) or []:
+        p, t = (int(x) for x in spec.split("+"))
+        results.append(bench_pg(engine, p, t, args.reps))
     if getattr(args, "batch", 1) > 1:
         from llamatpu.runtime.batch_engine import BatchEngine
 

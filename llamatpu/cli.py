@@ -68,10 +68,16 @@ def build_parser() -> argparse.ArgumentParser:
     ppl.add_argument("--text", help="inline text to evaluate")
     ppl.add_argument("--chunk", type=int, default=128)
 
+    conv = sub.add_parser("convert", help="requantize a GGUF checkpoint to Q8_0")
+    conv.add_argument("--model", "-m", required=True)
+    conv.add_argument("--output", "-o", required=True)
+
     bench = sub.add_parser("bench", help="llama-bench style pp/tg matrix")
     common(bench)
     bench.add_argument("--pp", type=int, nargs="*", default=[512], help="prompt lengths")
     bench.add_argument("--tg", type=int, nargs="*", default=[128], help="generation lengths")
+    bench.add_argument("--pg", nargs="*", default=[],
+                       help="combined prompt+gen specs, e.g. 512+128")
     bench.add_argument("--depth", "-d", type=int, nargs="*", default=[0],
                        help="untimed KV prefill depth before the timed window")
     bench.add_argument("--reps", "-r", type=int, default=3)
@@ -174,8 +180,20 @@ def cmd_ppl(args) -> int:
     return 0
 
 
+def cmd_convert(args) -> int:
+    import json
+
+    from llamatpu.gguf.convert import requantize_gguf
+
+    stats = requantize_gguf(args.model, args.output)
+    print(json.dumps(stats))
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.command == "convert":
+        return cmd_convert(args)
     if args.command == "run":
         return cmd_run(args)
     if args.command == "serve":
