@@ -70,6 +70,15 @@ class GGUFWriter:
             raise NotImplementedError(f"writer: {ggml_type!r}")
         self._tensors.append((name, tuple(array.shape), ggml_type, data))
 
+    def add_tensor_raw(self, name: str, shape: tuple[int, ...], ggml_type: GGMLType,
+                       raw: bytes) -> None:
+        """Add pre-encoded block bytes (e.g. K-quant data for tests)."""
+        n = 1
+        for d in shape:
+            n *= d
+        assert len(raw) == ggml_type.byte_size_for(n)
+        self._tensors.append((name, tuple(shape), ggml_type, raw))
+
     def _write_str(self, out: bytearray, s: str) -> None:
         b = s.encode("utf-8")
         out += struct.pack("<Q", len(b)) + b

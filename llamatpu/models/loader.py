@@ -29,7 +29,7 @@ from llamatpu.gguf import GGUFReader, quants
 from llamatpu.gguf.ggml_type import GGMLType
 from llamatpu.models.config import Family, ModelConfig
 from llamatpu.models.detect import detect_family
-from llamatpu.models.weights import QTensor
+from llamatpu.models.weights import QTensor, pad_qtensor_rows
 from llamatpu.ops.rope import precompute_rope_tables
 
 _QWEN_FAMILIES = (Family.QWEN_2, Family.QWEN_2_MOE, Family.DEEPSEEK_R1_DISTILL_QWEN)
@@ -232,7 +232,12 @@ def load_model(path: str, max_tokens: int = 0, mode: str = "quant",
             lw["k_norm"] = _load_dense(reader, b + "attn_k_norm.weight", "float32")
         layers.append(lw)
 
-    stacked = {k: _stack([l[k] for l in layers]) for k in layers[0]}
+    def _pad(w):
+        # lane-align out-features for the Pallas matmul (Phi-3/Granite vocab
+        # heads are not 128-multiples); consumers slice via QTensor.logical_out
+        return pad_qtensor_rows(w) if isinstance(w, QTensor) else w
+
+    stacked = {k: _pad(_stack([l[k] for l in layers])) for k in layers[0]}
 
     cos, sin = precompute_rope_tables(cfg)
     tok_name = "token_embd.weight"
@@ -240,7 +245,7 @@ def load_model(path: str, max_tokens: int = 0, mode: str = "quant",
     weights = {
         "tok_emb": dense(tok_name),
         "final_norm": _load_dense(reader, "output_norm.weight", "float32"),
-        "wcls": matw(out_name),
+        "wcls": _pad(matw(out_name)),
         "rope_cos": cos,
         "rope_sin": sin,
         "layers": stacked,

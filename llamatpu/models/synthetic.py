@@ -11,7 +11,7 @@ import numpy as np
 
 from llamatpu.models.config import Family, ModelConfig
 from llamatpu.models.loader import LoadedModel
-from llamatpu.models.weights import QTensor
+from llamatpu.models.weights import QTensor, pad_qtensor_rows
 from llamatpu.ops.rope import precompute_rope_tables
 
 # geometry sources: the models' published GGUF metadata (same keys the
@@ -99,7 +99,8 @@ def build_synthetic_model(preset: str, quant: str = "q8_0", seed: int = 0,
         layers["k_norm"] = np.ones((cfg.n_layers, cfg.head_dim), np.float32)
 
     cos, sin = precompute_rope_tables(cfg)
-    wcls = (_rand_qtensor(rng, (cfg.vocab_size, cfg.dim)) if quant == "q8_0"
+    wcls = (pad_qtensor_rows(_rand_qtensor(rng, (cfg.vocab_size, cfg.dim)))
+            if quant == "q8_0"
             else _rand_dense(rng, (cfg.vocab_size, cfg.dim), dtype))
     weights = {
         "tok_emb": _rand_dense(rng, (cfg.vocab_size, cfg.dim), dtype),

@@ -25,7 +25,8 @@ import numpy as np
 BLOCK = 32  # ggml Q8_0/Q4_0 block size
 
 
-@partial(jax.tree_util.register_dataclass, data_fields=["qs", "scales"], meta_fields=["kind"])
+@partial(jax.tree_util.register_dataclass, data_fields=["qs", "scales"],
+         meta_fields=["kind", "logical_out"])
 @dataclass
 class QTensor:
     """Block-quantized tensor: int8 values + per-32 f16 scales."""
@@ -35,6 +36,8 @@ class QTensor:
                        # f16 block scales; Mosaic has no f16, and f32 costs only
                        # +1/16 byte/weight of HBM traffic)
     kind: str = "q8_0"  # "q8_0" | "q4_0" (affects only provenance/bit width)
+    logical_out: int = 0  # real out-features when rows were padded to a lane
+                          # multiple (e.g. Phi-3's 32064-row vocab head); 0 = full
 
     @property
     def shape(self):
@@ -72,6 +75,19 @@ def quantize_array_q8_0(arr: np.ndarray) -> QTensor:
 
     raw = quants.quantize_q8_0(np.asarray(arr, dtype=np.float32).reshape(-1))
     return qtensor_from_gguf(GGMLType.Q8_0, raw, tuple(arr.shape))
+
+
+def pad_qtensor_rows(w: QTensor, multiple: int = 128) -> QTensor:
+    """Zero-pad the out-features axis to a lane multiple so the Pallas matmul
+    can tile it; consumers slice y[..., :logical_out] (ops/matmul.py)."""
+    o = w.qs.shape[-2]
+    if o % multiple == 0:
+        return w
+    pad = multiple - o % multiple
+    widths = [(0, 0)] * (w.qs.ndim - 2) + [(0, pad), (0, 0)]
+    qs = np.pad(np.asarray(w.qs), widths)
+    scales = np.pad(np.asarray(w.scales), widths)
+    return QTensor(qs, scales, w.kind, logical_out=o)
 
 
 def stack_qtensors(ts: list[QTensor]) -> QTensor:

@@ -28,15 +28,20 @@ def matmul(w, x: jnp.ndarray, impl: str = "xla") -> jnp.ndarray:
     (layer stacking is handled by lax.scan slicing before the call).
     """
     if isinstance(w, QTensor):
+        def unpad(y):
+            return y[..., : w.logical_out] if w.logical_out else y
+
         if impl == "pallas":
             from llamatpu.ops.pallas_matmul import quant_matmul_pallas
 
-            return quant_matmul_pallas(w, x)
+            return unpad(quant_matmul_pallas(w, x))
         if impl == "int8" and w.kind == "q8_0":
             from llamatpu.ops.int8_matmul import quant_matmul_int8
 
-            return quant_matmul_int8(w, x)
+            return unpad(quant_matmul_int8(w, x))
         wd = w.dequant(jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32)
+        if w.logical_out:
+            wd = wd[..., : w.logical_out, :]
     else:
         wd = w
     y = jax.lax.dot_general(

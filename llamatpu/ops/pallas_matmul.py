@@ -112,7 +112,11 @@ def _quant_matmul_2d(qs, scales, x2, interpret=False):
 
 
 def quant_matmul_pallas(w: QTensor, x: jnp.ndarray, interpret: bool | None = None) -> jnp.ndarray:
-    """y[..., O] = x[..., I] @ W^T with fused in-kernel dequantization."""
+    """y[..., O] = x[..., I] @ W^T with fused in-kernel dequantization.
+
+    Matrices whose out-dim can't tile lane-aligned within the VMEM budget
+    (e.g. Phi-3's 32064-row / Granite's 49155-row vocab heads — not multiples
+    of 128) fall back to the XLA dequant path rather than a whole-O block."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     qs, scales = w.qs, w.scales
@@ -121,6 +125,13 @@ def quant_matmul_pallas(w: QTensor, x: jnp.ndarray, interpret: bool | None = Non
     T = 1
     for d in lead:
         T *= d
+    O, I = qs.shape
+    xbytes = 4 if x.dtype == jnp.float32 else 2
+    tp, tt, to = _tiles(O, I, T, xbytes)
+    if not interpret and to == O and (to * I + to * (I // BLOCK) * 4) > _VMEM_BUDGET:
+        from llamatpu.ops.matmul import matmul
+
+        return matmul(w, x, impl="xla")
     x2 = x.reshape(T, x.shape[-1])
     y = _quant_matmul_2d(qs, scales, x2, interpret=interpret)
-    return y.reshape(*lead, qs.shape[0]).astype(x.dtype)
+    return y.reshape(*lead, O).astype(x.dtype)

@@ -56,14 +56,16 @@ def weight_shardings(cfg: ModelConfig, mesh: Mesh, weights: dict) -> dict:
     layers = {}
     for name, leaf in weights["layers"].items():
         s = layer_spec(name, leaf)
-        layers[name] = QTensor(s, s, leaf.kind) if isinstance(leaf, QTensor) else s
+        layers[name] = (QTensor(s, s, leaf.kind, leaf.logical_out)
+                        if isinstance(leaf, QTensor) else s)
 
     wcls = weights["wcls"]
     wcls_s = ns(P("tp", None))
     return {
         "tok_emb": ns(P()),
         "final_norm": ns(P()),
-        "wcls": QTensor(wcls_s, wcls_s, wcls.kind) if isinstance(wcls, QTensor) else wcls_s,
+        "wcls": (QTensor(wcls_s, wcls_s, wcls.kind, wcls.logical_out)
+                 if isinstance(wcls, QTensor) else wcls_s),
         "rope_cos": ns(P()),
         "rope_sin": ns(P()),
         "layers": layers,
