@@ -48,11 +48,13 @@ PRESETS: dict[str, dict] = {
 }
 
 
-def _rand_qtensor(rng: np.random.Generator, shape: tuple[int, ...]) -> QTensor:
-    qs = rng.integers(-127, 128, size=shape, dtype=np.int8)
+def _rand_qtensor(rng: np.random.Generator, shape: tuple[int, ...],
+                  kind: str = "q8_0") -> QTensor:
+    lo, hi = (-8, 8) if kind == "q4_0" else (-127, 128)
+    qs = rng.integers(lo, hi, size=shape, dtype=np.int8)
     scales = (rng.random(size=(*shape[:-1], shape[-1] // 32), dtype=np.float32)
               * 0.001 + 0.0005)
-    return QTensor(qs, scales, "q8_0")
+    return QTensor(qs, scales, kind)
 
 
 def _rand_dense(rng, shape, dtype):
@@ -75,8 +77,8 @@ def build_synthetic_model(preset: str, quant: str = "q8_0", seed: int = 0,
     rng = np.random.default_rng(seed)
 
     def mat(out_dim, in_dim):
-        if quant == "q8_0":
-            return _rand_qtensor(rng, (cfg.n_layers, out_dim, in_dim))
+        if quant in ("q8_0", "q4_0"):
+            return _rand_qtensor(rng, (cfg.n_layers, out_dim, in_dim), quant)
         return _rand_dense(rng, (cfg.n_layers, out_dim, in_dim), dtype)
 
     layers = {
@@ -99,8 +101,8 @@ def build_synthetic_model(preset: str, quant: str = "q8_0", seed: int = 0,
         layers["k_norm"] = np.ones((cfg.n_layers, cfg.head_dim), np.float32)
 
     cos, sin = precompute_rope_tables(cfg)
-    wcls = (pad_qtensor_rows(_rand_qtensor(rng, (cfg.vocab_size, cfg.dim)))
-            if quant == "q8_0"
+    wcls = (pad_qtensor_rows(_rand_qtensor(rng, (cfg.vocab_size, cfg.dim), quant))
+            if quant in ("q8_0", "q4_0")
             else _rand_dense(rng, (cfg.vocab_size, cfg.dim), dtype))
     weights = {
         "tok_emb": _rand_dense(rng, (cfg.vocab_size, cfg.dim), dtype),

@@ -13,6 +13,9 @@ sys.path.insert(0, ".")
 
 
 def bench_preset(name: str, quant: str = "q8_0", pp: int = 512, tg: int = 128):
+    """Preset may carry a quant suffix, e.g. llama3-8b:q4_0."""
+    if ":" in name:
+        name, quant = name.split(":")
     import numpy as np
 
     from llamatpu.models.synthetic import build_synthetic_model
