@@ -17,6 +17,8 @@ Per-lane semantics:
 """
 from __future__ import annotations
 
+import time
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -170,7 +172,7 @@ class BatchEngine:
         active = np.zeros(B, bool)
         outs: list[list[int]] = [[] for _ in prompts]
 
-        t0 = __import__("time").perf_counter()
+        t0 = time.perf_counter()
         for b, p in enumerate(prompts):
             t = self.prefill_lane(b, p, 0,
                                   0.0 if temps is None else float(temps[b]),
@@ -181,11 +183,11 @@ class BatchEngine:
             outs[b].append(t)
             if t in stop_tokens:
                 active[b] = False
-        self.metrics.prefill_s += __import__("time").perf_counter() - t0
+        self.metrics.prefill_s += time.perf_counter() - t0
         self.metrics.prefill_tokens += sum(len(p) for p in prompts)
 
         remaining = max_new_tokens - 1
-        t0 = __import__("time").perf_counter()
+        t0 = time.perf_counter()
         while remaining > 0 and active.any():
             slab = self.decode_window_run(
                 tokens, pos, active, stop_tokens,
@@ -209,6 +211,6 @@ class BatchEngine:
             if steps == 0:
                 break
             remaining -= steps
-        self.metrics.decode_s += __import__("time").perf_counter() - t0
+        self.metrics.decode_s += time.perf_counter() - t0
         self.metrics.decode_tokens += sum(len(o) for o in outs)
         return outs

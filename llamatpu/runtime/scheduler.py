@@ -154,36 +154,49 @@ class ContinuousBatcher:
 
     def _loop(self) -> None:
         while not self._shutdown:
-            self._admit()
-            if not self._active.any():
-                self._wake.wait(timeout=0.05)
-                self._wake.clear()
+            try:
+                self._step()
+            except Exception:  # a scheduler crash must not strand consumers
+                import traceback
+
+                traceback.print_exc()
+                for i in range(self.B):
+                    if self._lanes[i].req is not None:
+                        self._finish_lane(i, "length")
+
+    def _step(self) -> None:
+        self._admit()
+        if not self._active.any():
+            self._wake.wait(timeout=0.05)
+            self._wake.clear()
+            return
+        # bound the window by the tightest remaining budget so no lane
+        # overshoots (simpler than per-lane device budgets)
+        limits = [self._lanes[i].req.max_new_tokens - self._lanes[i].produced
+                  for i in range(self.B) if self._active[i]]
+        if not limits:
+            return
+        limit = max(1, min(min(limits), self.engine.decode_window))
+        slab = self.engine.decode_window_run(
+            self._tokens, self._pos, self._active, self.stop_tokens,
+            self._temps, self._topps, limit=limit)
+        for b in range(self.B):
+            l = self._lanes[b]
+            if l.req is None or not self._active[b]:
                 continue
-            # bound the window by the tightest remaining budget so no lane
-            # overshoots (simpler than per-lane device budgets)
-            limits = [self._lanes[i].req.max_new_tokens - self._lanes[i].produced
-                      for i in range(self.B) if self._active[i]]
-            limit = max(1, min(min(limits), self.engine.decode_window))
-            slab = self.engine.decode_window_run(
-                self._tokens, self._pos, self._active, self.stop_tokens,
-                self._temps, self._topps, limit=limit)
-            for b in range(self.B):
-                l = self._lanes[b]
-                if l.req is None or not self._active[b]:
-                    continue
-                col = slab[:, b]
-                emitted = [int(t) for t in col[col >= 0]]
-                stopped = False
-                for t in emitted:
-                    l.req.stream.push(t)
-                    l.produced += 1
-                    if t in self.stop_tokens:
-                        stopped = True
-                        break
-                self._pos[b] += len(emitted)
-                if emitted:
-                    self._tokens[b] = emitted[-1]
-                if stopped:
-                    self._finish_lane(b, "stop")
-                elif l.produced >= l.req.max_new_tokens or self._pos[b] + 2 >= self.engine.cache_len:
-                    self._finish_lane(b, "length")
+            col = slab[:, b]
+            emitted = [int(t) for t in col[col >= 0]]
+            stopped = False
+            for t in emitted:
+                l.req.stream.push(t)
+                l.produced += 1
+                if t in self.stop_tokens:
+                    stopped = True
+                    break
+            self._pos[b] += len(emitted)
+            if emitted:
+                self._tokens[b] = emitted[-1]
+            if stopped:
+                self._finish_lane(b, "stop")
+            elif l.produced >= l.req.max_new_tokens or self._pos[b] + 2 >= self.engine.cache_len:
+                self._finish_lane(b, "length")
