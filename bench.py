@@ -17,7 +17,19 @@ BASELINE_TOK_S = 80.7  # BASELINE.md: Llama-3.2-1B Q8_0 prefill-decode+cuda-grap
 
 
 def main() -> None:
+    import os
+
+    import jax
     import numpy as np
+
+    # persistent compile cache: first-run compiles through the axon relay cost
+    # 20-90s per program; later runs (and rounds) reuse them
+    if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        try:
+            os.makedirs("/root/.jax_cache", exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        except Exception:
+            pass
 
     from llamatpu.models.synthetic import build_synthetic_model
     from llamatpu.runtime.engine import Engine

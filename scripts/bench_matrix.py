@@ -21,9 +21,12 @@ def bench_preset(name: str, quant: str = "q8_0", pp: int = 512, tg: int = 128):
     from llamatpu.models.synthetic import build_synthetic_model
     from llamatpu.runtime.engine import Engine
 
+    print(f"# {name}: building weights...", file=sys.stderr, flush=True)
     model = build_synthetic_model(name, quant=quant, context_length=1024)
+    print(f"# {name}: engine init (upload + compile)...", file=sys.stderr, flush=True)
     engine = Engine(model, cache_len=1024, prefill_chunk=512, temperature=0.0,
                     decode_window=128, impl="pallas", aot_compile=True)
+    print(f"# {name}: benching...", file=sys.stderr, flush=True)
     rng = np.random.default_rng(42)
     prompt = rng.integers(0, model.cfg.vocab_size, pp).tolist()
     engine.reset()
