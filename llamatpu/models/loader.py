@@ -29,7 +29,7 @@ from llamatpu.gguf import GGUFReader, quants
 from llamatpu.gguf.ggml_type import GGMLType
 from llamatpu.models.config import Family, ModelConfig
 from llamatpu.models.detect import detect_family
-from llamatpu.models.weights import QTensor, pad_qtensor_rows
+from llamatpu.models.weights import QTensor, prepare_qtensor
 from llamatpu.ops.rope import precompute_rope_tables
 
 _QWEN_FAMILIES = (Family.QWEN_2, Family.QWEN_2_MOE, Family.DEEPSEEK_R1_DISTILL_QWEN)
@@ -233,9 +233,10 @@ def load_model(path: str, max_tokens: int = 0, mode: str = "quant",
         layers.append(lw)
 
     def _pad(w):
-        # lane-align out-features for the Pallas matmul (Phi-3/Granite vocab
-        # heads are not 128-multiples); consumers slice via QTensor.logical_out
-        return pad_qtensor_rows(w) if isinstance(w, QTensor) else w
+        # lane-align out-features + interleave columns for the Pallas matmul;
+        # consumers slice via QTensor.logical_out, dequant/int8 paths
+        # deinterleave (models/weights.py)
+        return prepare_qtensor(w) if isinstance(w, QTensor) else w
 
     stacked = {k: _pad(_stack([l[k] for l in layers])) for k in layers[0]}
 

@@ -11,7 +11,7 @@ import numpy as np
 
 from llamatpu.models.config import Family, ModelConfig
 from llamatpu.models.loader import LoadedModel
-from llamatpu.models.weights import QTensor, pad_qtensor_rows
+from llamatpu.models.weights import QTensor, prepare_qtensor
 from llamatpu.ops.rope import precompute_rope_tables
 
 # geometry sources: the models' published GGUF metadata (same keys the
@@ -78,7 +78,7 @@ def build_synthetic_model(preset: str, quant: str = "q8_0", seed: int = 0,
 
     def mat(out_dim, in_dim):
         if quant in ("q8_0", "q4_0"):
-            return _rand_qtensor(rng, (cfg.n_layers, out_dim, in_dim), quant)
+            return prepare_qtensor(_rand_qtensor(rng, (cfg.n_layers, out_dim, in_dim), quant))
         return _rand_dense(rng, (cfg.n_layers, out_dim, in_dim), dtype)
 
     layers = {
@@ -101,7 +101,7 @@ def build_synthetic_model(preset: str, quant: str = "q8_0", seed: int = 0,
         layers["k_norm"] = np.ones((cfg.n_layers, cfg.head_dim), np.float32)
 
     cos, sin = precompute_rope_tables(cfg)
-    wcls = (pad_qtensor_rows(_rand_qtensor(rng, (cfg.vocab_size, cfg.dim), quant))
+    wcls = (prepare_qtensor(_rand_qtensor(rng, (cfg.vocab_size, cfg.dim), quant))
             if quant in ("q8_0", "q4_0")
             else _rand_dense(rng, (cfg.vocab_size, cfg.dim), dtype))
     weights = {

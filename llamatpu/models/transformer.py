@@ -89,7 +89,7 @@ def _dense_ffn(cfg: ModelConfig, h, lw, impl):
 
 def _index_qtensor(w, i):
     if isinstance(w, QTensor):
-        return QTensor(w.qs[i], w.scales[i], w.kind, w.logical_out)
+        return QTensor(w.qs[i], w.scales[i], w.kind, w.logical_out, w.layout)
     return w[i]
 
 

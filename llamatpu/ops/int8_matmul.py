@@ -44,7 +44,9 @@ def _quantize_activation(x2: jnp.ndarray):
 def quant_matmul_int8(w: QTensor, x: jnp.ndarray) -> jnp.ndarray:
     """y[..., O] = exact ggml int8 dot of x against Q8_0 weights."""
     assert w.kind == "q8_0", "int8 path requires Q8_0 weights"
-    qs, scales = w.qs, w.scales  # int8 [O, I], f32 [O, NB] (exact f16 values)
+    # canonical column order (deinterleaves in-graph if the tensor is stored
+    # interleaved for the Pallas path — one extra weight read, ppl-mode only)
+    qs, scales = w.canonical_qs(), w.scales
     lead = x.shape[:-1]
     t = 1
     for d_ in lead:

@@ -56,7 +56,7 @@ def weight_shardings(cfg: ModelConfig, mesh: Mesh, weights: dict) -> dict:
     layers = {}
     for name, leaf in weights["layers"].items():
         s = layer_spec(name, leaf)
-        layers[name] = (QTensor(s, s, leaf.kind, leaf.logical_out)
+        layers[name] = (QTensor(s, s, leaf.kind, leaf.logical_out, leaf.layout)
                         if isinstance(leaf, QTensor) else s)
 
     wcls = weights["wcls"]
@@ -64,7 +64,7 @@ def weight_shardings(cfg: ModelConfig, mesh: Mesh, weights: dict) -> dict:
     return {
         "tok_emb": ns(P()),
         "final_norm": ns(P()),
-        "wcls": (QTensor(wcls_s, wcls_s, wcls.kind, wcls.logical_out)
+        "wcls": (QTensor(wcls_s, wcls_s, wcls.kind, wcls.logical_out, wcls.layout)
                  if isinstance(wcls, QTensor) else wcls_s),
         "rope_cos": ns(P()),
         "rope_sin": ns(P()),
