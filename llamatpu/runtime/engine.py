@@ -246,7 +246,12 @@ class Engine:
     ) -> GenerationResult:
         """Autoregressive generation (reference: InferenceEngine.generateTokens*,
         InferenceEngine.java:81-680): prompt ingestion, windowed decode with
-        stop-token check and streaming callback, per-phase metrics."""
+        stop-token check and streaming callback, per-phase metrics.
+
+        `on_token` may return truthy to cancel generation after that token
+        (used for per-request stop STRINGS, which only exist at the decoded-
+        text level); the remainder of the in-flight decode window is dropped
+        and stop_reason is "cancelled"."""
         m = self.metrics
         assert prompt_tokens, "empty prompt"
         if echo and on_token:
@@ -270,10 +275,11 @@ class Engine:
         t0 = time.perf_counter()
 
         out.append(tok)
-        if on_token:
-            on_token(tok)
+        cancelled = bool(on_token(tok)) if on_token else False
         if tok in stop_tokens:
             stop_reason = "stop_token"
+        elif cancelled:
+            stop_reason = "cancelled"
         else:
             remaining = max_new_tokens - 1
             while remaining > 0 and pos + 1 < self.cache_len:
@@ -283,8 +289,12 @@ class Engine:
                     break
                 for t in window:
                     out.append(t)
-                    if on_token:
-                        on_token(t)
+                    if on_token and on_token(t):
+                        cancelled = True
+                        break
+                if cancelled:
+                    stop_reason = "cancelled"
+                    break
                 if window[-1] in stop_tokens:
                     stop_reason = "stop_token"
                     break

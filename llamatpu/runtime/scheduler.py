@@ -46,12 +46,20 @@ class TokenStream:
     def __init__(self):
         self._q: queue.Queue = queue.Queue()
         self.finish_reason: str | None = None
+        self.cancelled = False
 
     def push(self, token_id: int) -> None:
         self._q.put(token_id)
 
-    def finish(self, reason: str) -> None:
+    def cancel(self, reason: str = "stop") -> None:
+        """Consumer-side abort (e.g. a stop string matched): the scheduler
+        frees this lane at its next step; the consumer stops iterating now."""
         self.finish_reason = reason
+        self.cancelled = True
+
+    def finish(self, reason: str) -> None:
+        if self.finish_reason is None:
+            self.finish_reason = reason
         self._q.put(self._END)
 
     def __iter__(self):
@@ -165,6 +173,10 @@ class ContinuousBatcher:
                         self._finish_lane(i, "length")
 
     def _step(self) -> None:
+        for b in range(self.B):  # consumer-side cancels free the lane here
+            l = self._lanes[b]
+            if l.req is not None and l.req.stream.cancelled:
+                self._finish_lane(b, "stop")
         self._admit()
         if not self._active.any():
             self._wake.wait(timeout=0.05)

@@ -104,6 +104,14 @@ class _Handler(BaseHTTPRequestHandler):
                 return
             messages.append(Message("user", prompt))
 
+        stop = body.get("stop")  # OpenAI: string or array of up to 4 strings
+        if isinstance(stop, str):
+            stop = [stop]
+        if isinstance(stop, list):
+            stop = [s for s in stop if isinstance(s, str) and s][:4] or None
+        else:
+            stop = None
+
         req = Request(
             messages=messages,
             max_tokens=int(body.get("max_tokens", body.get("max_completion_tokens", 256))),
@@ -112,6 +120,7 @@ class _Handler(BaseHTTPRequestHandler):
             seed=int(body.get("seed", 1234)),
             raw_prompt=not chat,
             tools_json=tools_json,
+            stop=stop,
         )
         rid = self._next_id("chatcmpl-" if chat else "cmpl-")
         created = int(time.time())

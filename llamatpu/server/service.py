@@ -14,6 +14,7 @@ from dataclasses import dataclass, field
 from llamatpu.format.chat_format import Message
 from llamatpu.models.loader import LoadedModel
 from llamatpu.runtime.engine import Engine
+from llamatpu.server.stop_strings import StopStringMatcher
 from llamatpu.tokenizer.stream import StreamDecoder
 
 
@@ -26,6 +27,7 @@ class Request:
     seed: int = 1234
     raw_prompt: bool = False  # /v1/completions: no chat template
     tools_json: str | None = None  # JSON array of tool definitions (OpenAI style)
+    stop: list[str] | None = None  # per-request stop strings (OpenAI `stop`)
 
 
 @dataclass
@@ -129,24 +131,43 @@ class InferenceService:
                 return Result("", len(tokens), 0, "length")
 
             sd = StreamDecoder(tok)
+            matcher = StopStringMatcher(req.stop) if req.stop else None
             pieces: list[str] = []
+
+            def emit(text):
+                pieces.append(text)
+                if on_piece:
+                    on_piece(text)
 
             def on_token(t):
                 text = sd.push(t)
-                if text:
-                    pieces.append(text)
-                    if on_piece:
-                        on_piece(text)
+                if not text:
+                    return False
+                if matcher is None:
+                    emit(text)
+                    return False
+                out, hit = matcher.feed(text)
+                if out:
+                    emit(out)
+                return hit  # truthy return cancels the engine loop
 
             res = engine.generate(
                 tokens, budget, stop_tokens=stop_tokens_for(self.model, req),
                 on_token=on_token, temperature=req.temperature, top_p=req.top_p)
-            tail = sd.flush()
-            if tail:
-                pieces.append(tail)
-                if on_piece:
-                    on_piece(tail)
-            finish = "stop" if res.stop_reason == "stop_token" else "length"
+            if res.stop_reason != "cancelled":
+                tail = sd.flush()
+                if matcher is not None:
+                    if tail:
+                        out, _ = matcher.feed(tail)
+                        if out:
+                            emit(out)
+                    held = matcher.flush()
+                    if held:
+                        emit(held)
+                elif tail:
+                    emit(tail)
+            finish = ("stop" if res.stop_reason in ("stop_token", "cancelled")
+                      else "length")
             n_completion = len(res.tokens)
             return Result("".join(pieces), len(tokens), n_completion, finish)
 
@@ -174,19 +195,41 @@ class BatchedInferenceService:
             prompt_tokens=tokens, max_new_tokens=budget,
             temperature=req.temperature, top_p=req.top_p))
         sd = StreamDecoder(self.model.tokenizer)
+        matcher = StopStringMatcher(req.stop) if req.stop else None
         pieces: list[str] = []
+
+        def emit(text):
+            pieces.append(text)
+            if on_piece:
+                on_piece(text)
+
         n = 0
+        hit = False
         for t in stream:
             n += 1
             text = sd.push(t)
-            if text:
-                pieces.append(text)
-                if on_piece:
-                    on_piece(text)
-        tail = sd.flush()
-        if tail:
-            pieces.append(tail)
-            if on_piece:
-                on_piece(tail)
-        finish = stream.finish_reason or "length"
+            if not text:
+                continue
+            if matcher is None:
+                emit(text)
+                continue
+            out, hit = matcher.feed(text)
+            if out:
+                emit(out)
+            if hit:
+                stream.cancel()  # frees the lane at the next scheduler step
+                break
+        if not hit:
+            tail = sd.flush()
+            if matcher is not None:
+                if tail:
+                    out, _ = matcher.feed(tail)
+                    if out:
+                        emit(out)
+                held = matcher.flush()
+                if held:
+                    emit(held)
+            elif tail:
+                emit(tail)
+        finish = "stop" if hit else (stream.finish_reason or "length")
         return Result("".join(pieces), len(tokens), n, finish)
