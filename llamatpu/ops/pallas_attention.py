@@ -6,10 +6,22 @@ TransformerComputeKernelsLayered.java:784-1433): one program per (batch, kv
 head) computes the GQA group's scores against the full cache stripe in VMEM
 with f32 masked softmax, keeping the [G, S] score matrix out of HBM entirely.
 
-The whole cache stripe for one kv head (S x head_dim, bf16) fits VMEM up to
-S ~ 32k, so no online-softmax tiling is needed at supported context lengths;
-a KV-tiled online-softmax variant (the reference's splitKV analog) is the
-long-context extension point.
+Two kernels:
+
+- `decode_attention`: one program per (batch, kv head) over the FULL cache
+  stripe in VMEM. Simplest + fastest for short caches (stripe fits VMEM up to
+  a few k tokens with double buffering).
+- `decode_attention_split`: the reference's splitKV analog
+  (TransformerComputeKernelsLayered.java:1090-1433) re-designed for TPU — the
+  cache stripe is tiled along S with an online-softmax accumulator carried in
+  VMEM scratch across the sequential tile grid. The K/V block index maps are
+  CLAMPED to the tile containing `pos` (scalar-prefetch): tiles past the
+  current length re-request the same block, which Pallas recognises as a
+  revisit and skips the DMA — so decode HBM traffic scales with the ACTUAL
+  sequence length, not the allocated cache length. Compute for those tiles is
+  skipped with pl.when.
+
+`decode_attention_auto` picks per cache length (tiled above SPLIT_THRESHOLD).
 """
 from __future__ import annotations
 
@@ -69,6 +81,113 @@ def decode_attention(q, kc, vc, pos_vec, scale: float, interpret: bool = False):
     )(pos2, q, kc, vc)
 
 
+def _split_kernel(pos_pref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+                  *, scale, s_tile):
+    # grid (b, kv, nt); blocks: q [1,1,G,hd]; k [1,1,Ts,hd]; v [1,1,Ts,vhd]
+    # scratch (persist across the sequential ti loop): m/l [G,128] lane-
+    # replicated running max / denominator, acc [G,vhd] f32 accumulator.
+    bi = pl.program_id(0)
+    ti = pl.program_id(2)
+    nt = pl.num_programs(2)
+    pos = pos_pref[bi]
+
+    @pl.when(ti == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    start = ti * s_tile
+
+    @pl.when(start <= pos)
+    def _tile():
+        q = q_ref[0, 0].astype(jnp.float32)      # [G, hd]
+        k = k_ref[0, 0].astype(jnp.float32)      # [Ts, hd]
+        v = v_ref[0, 0].astype(jnp.float32)      # [Ts, vhd]
+        scores = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [G, Ts]
+        s_idx = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + start
+        scores = jnp.where(s_idx <= pos, scores, NEG_INF)
+        # lanes of m/l are replicated, so a lane-max is a read
+        m_prev = jnp.max(m_ref[...], axis=1, keepdims=True)      # [G, 1]
+        l_prev = jnp.max(l_ref[...], axis=1, keepdims=True)      # [G, 1]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)                          # [G, 1]
+        e = jnp.exp(scores - m_new)                              # [G, Ts]
+        l_new = l_prev * alpha + jnp.sum(e, axis=1, keepdims=True)
+        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+            e, v, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(ti == nt - 1)
+    def _finalize():
+        l = jnp.max(l_ref[...], axis=1, keepdims=True)  # >= 1 term (pos >= 0)
+        o_ref[0, 0] = acc_ref[...] / l
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "s_tile", "interpret"))
+def decode_attention_split(q, kc, vc, pos_vec, scale: float,
+                           s_tile: int = 1024, interpret: bool = False):
+    """KV-tiled online-softmax decode attention (splitKV analog). Same
+    signature/semantics as `decode_attention`; requires S % s_tile == 0 and
+    s_tile a power of two (the clamp uses a shift — `//` lowers to a ~20x
+    software divide on TPU)."""
+    b, kv, g, hd = q.shape
+    s = kc.shape[2]
+    vhd = vc.shape[3]
+    assert s % s_tile == 0, (s, s_tile)
+    assert s_tile & (s_tile - 1) == 0, s_tile
+    shift = s_tile.bit_length() - 1
+    nt = s // s_tile
+    pos = pos_vec.astype(jnp.int32)
+
+    def kv_index(bi, hi, ti, pos_pref):
+        # clamp to the tile containing pos: later tiles revisit this block, so
+        # Pallas skips their DMA (decode reads scale with the real length)
+        return (bi, hi, jnp.minimum(ti, pos_pref[bi] >> shift), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, kv, nt),
+        in_specs=[
+            pl.BlockSpec((1, 1, g, hd), lambda bi, hi, ti, pp: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, s_tile, hd), kv_index),
+            pl.BlockSpec((1, 1, s_tile, vhd), kv_index),
+        ],
+        out_specs=pl.BlockSpec((1, 1, g, vhd),
+                               lambda bi, hi, ti, pp: (bi, hi, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((g, 128), jnp.float32),
+            pltpu.VMEM((g, 128), jnp.float32),
+            pltpu.VMEM((g, vhd), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_split_kernel, scale=scale, s_tile=s_tile),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, kv, g, vhd), jnp.float32),
+        interpret=interpret,
+    )(pos, q, kc, vc)
+
+
+SPLIT_THRESHOLD_BYTES = 16384  # S * itemsize: full-stripe VMEM (K+V, double-
+_SPLIT_TILE = 1024             # buffered) hits the 16M scoped limit past this
+                               # (bf16 S=8192 measured at 16.01M on v5e)
+
+
 def decode_attention_auto(q, kc, vc, pos_vec, scale: float):
     interpret = jax.default_backend() != "tpu"
+    s = kc.shape[2]
+    if s * kc.dtype.itemsize >= SPLIT_THRESHOLD_BYTES:
+        # largest power-of-two tile that divides S (the full kernel VMEM-OOMs
+        # past ~8k, so prefer split whenever a legal tiling exists)
+        tile = _SPLIT_TILE
+        while tile >= 128 and s % tile != 0:
+            tile //= 2
+        if tile >= 128:
+            return decode_attention_split(q, kc, vc, pos_vec, scale,
+                                          s_tile=tile, interpret=interpret)
     return decode_attention(q, kc, vc, pos_vec, scale, interpret=interpret)
