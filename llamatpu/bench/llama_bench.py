@@ -161,8 +161,11 @@ def run_bench(args) -> None:
     need = max([p + d for p in args.pp for d in args.depth]
                + [t + d + 1 for t in args.tg for d in args.depth])
     cache_len = min(model.cfg.context_length, max(need, 256))
+    from llamatpu.cli import _cache_dtype
+
     engine = Engine(model, cache_len=cache_len, impl=args.impl,
-                    prefill_chunk=args.prefill_chunk, temperature=0.0)
+                    prefill_chunk=args.prefill_chunk, temperature=0.0,
+                    cache_dtype=_cache_dtype(args))
     results = []
     for d in args.depth:
         for p in args.pp:
@@ -176,7 +179,8 @@ def run_bench(args) -> None:
         from llamatpu.runtime.batch_engine import BatchEngine
 
         be = BatchEngine(model, batch_size=args.batch, cache_len=cache_len,
-                         impl=args.impl, prefill_chunk=args.prefill_chunk)
+                         impl=args.impl, prefill_chunk=args.prefill_chunk,
+                         cache_dtype=_cache_dtype(args))
         for t in args.tg:
             results.append(bench_tg_batch(be, t, max(args.depth), args.reps))
     name = model.metadata.get("general.name", "unknown")

@@ -25,6 +25,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="quantized matmul implementation")
         sp.add_argument("--dtype", choices=["bf16", "f32"], default="bf16",
                         help="activation/weight compute dtype")
+        sp.add_argument("--kv-dtype", choices=["auto", "bf16", "f32", "int8"],
+                        default="auto",
+                        help="KV cache dtype; int8 halves cache HBM "
+                             "(per-token-head scales, ops/kv_quant.py)")
         sp.add_argument("--prefill-chunk", type=int, default=128)
         sp.add_argument("--seed", type=int, default=42)
         sp.add_argument("--metrics-format", choices=["human", "json", "github", "none"],
@@ -114,6 +118,15 @@ def _mesh(args):
     return make_mesh(tp=max(args.tp, 1), dp=max(args.dp, 1))
 
 
+def _cache_dtype(args):
+    import jax.numpy as jnp
+
+    kv = getattr(args, "kv_dtype", "auto")
+    if kv == "auto":
+        return jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    return {"bf16": jnp.bfloat16, "f32": jnp.float32, "int8": jnp.int8}[kv]
+
+
 def cmd_run(args) -> int:
     import jax.numpy as jnp
 
@@ -126,8 +139,8 @@ def cmd_run(args) -> int:
     top_p = args.top_p if args.top_p is not None else fmt.default_top_p()
     engine = Engine(model, impl=args.impl, temperature=temp, top_p=top_p,
                     seed=args.seed, prefill_chunk=args.prefill_chunk,
-                    cache_dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
-                    metrics=metrics, mesh=_mesh(args))
+                    cache_dtype=_cache_dtype(args), metrics=metrics,
+                    mesh=_mesh(args))
     if args.dump_hlo:
         from llamatpu.utils.profiling import dump_decode_hlo
 

@@ -32,16 +32,24 @@ from llamatpu.ops.rmsnorm import rmsnorm
 from llamatpu.ops.rope import apply_rope
 
 
-@partial(jax.tree_util.register_dataclass, data_fields=["k", "v"], meta_fields=[])
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["k", "v", "k_scale", "v_scale"], meta_fields=[])
 @dataclass
 class KVCache:
     """Preallocated per-layer KV cache (reference: State.keyCache/valueCache,
     inference/state/State.java:44-45, flattened [L][ctx*kvDim]; here
     [L, B, n_kv, ctx, head_dim]: head-major so each kv head's stripe is
-    contiguous for the Pallas decode-attention kernel and per-head reads)."""
+    contiguous for the Pallas decode-attention kernel and per-head reads).
+
+    With int8 k/v (init_cache(dtype=jnp.int8)), k_scale/v_scale hold one f32
+    per (token, kv head) stored [L, B, n_kv, 1, S] (S on lanes — Mosaic block-
+    legal and VMEM-compact); dequant folds into the attention dots, see
+    ops/kv_quant.py."""
 
     k: jax.Array  # [L, B, n_kv, S, head_dim]
     v: jax.Array  # [L, B, n_kv, S, v_head_dim]
+    k_scale: jax.Array | None = None  # [L, B, n_kv, 1, S] f32 (int8 mode)
+    v_scale: jax.Array | None = None
 
     @property
     def batch(self) -> int:
@@ -51,13 +59,22 @@ class KVCache:
     def length(self) -> int:
         return self.k.shape[3]
 
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
 
 def init_cache(cfg: ModelConfig, batch: int, dtype=jnp.bfloat16, length: int | None = None) -> KVCache:
     s = length or cfg.context_length
-    return KVCache(
-        k=jnp.zeros((cfg.n_layers, batch, cfg.n_kv_heads, s, cfg.head_dim), dtype),
-        v=jnp.zeros((cfg.n_layers, batch, cfg.n_kv_heads, s, cfg.v_head_dim), dtype),
-    )
+    k = jnp.zeros((cfg.n_layers, batch, cfg.n_kv_heads, s, cfg.head_dim), dtype)
+    v = jnp.zeros((cfg.n_layers, batch, cfg.n_kv_heads, s, cfg.v_head_dim), dtype)
+    if dtype == jnp.int8:
+        # two distinct buffers: the engine donates the cache pytree and XLA
+        # rejects donating one buffer twice
+        shape = (cfg.n_layers, batch, cfg.n_kv_heads, 1, s)
+        return KVCache(k, v, jnp.zeros(shape, jnp.float32),
+                       jnp.zeros(shape, jnp.float32))
+    return KVCache(k, v)
 
 
 def _attention(cfg: ModelConfig, q, kc, vc, pos_vec, t_len):
@@ -154,8 +171,14 @@ def forward_tokens(cfg: ModelConfig, weights, tokens, cache, pos, impl="xla",
 
     kv, g = cfg.n_kv_heads, cfg.gqa_groups
 
+    quantized = (not paged) and cache.quantized
+
     def layer_fn(x, per_layer):
-        lw, kc, vc = per_layer
+        if quantized:
+            lw, kc, vc, ksc, vsc = per_layer
+        else:
+            lw, kc, vc = per_layer
+            ksc = vsc = None
         h = rmsnorm(x, lw["attn_norm"], cfg.rms_norm_eps)
         q = matmul(lw["wq"], h, impl)
         k = matmul(lw["wk"], h, impl)
@@ -179,6 +202,19 @@ def forward_tokens(cfg: ModelConfig, weights, tokens, cache, pos, impl="xla",
             vc = paged_write(vc, v.astype(vc.dtype), tables, pos_vec, bs)
             kd = paged_gather(kc, tables)
             vd = paged_gather(vc, tables)
+        elif quantized:
+            from llamatpu.ops.kv_quant import quantize_kv
+
+            kq, ks_new = quantize_kv(k)  # int8 [B,T,KV,hd], f32 [B,T,KV]
+            vq, vs_new = quantize_kv(v)
+            upd = jax.vmap(lambda c, new, p: jax.lax.dynamic_update_slice(c, new, (0, p, 0)))
+            kc = upd(kc, kq.transpose(0, 2, 1, 3), pos_vec)
+            vc = upd(vc, vq.transpose(0, 2, 1, 3), pos_vec)
+            # scale rows [B, KV, 1, S]: update along the lane (S) axis
+            upds = jax.vmap(lambda c, new, p: jax.lax.dynamic_update_slice(c, new, (0, 0, p)))
+            ksc = upds(ksc, ks_new.transpose(0, 2, 1)[:, :, None, :], pos_vec)
+            vsc = upds(vsc, vs_new.transpose(0, 2, 1)[:, :, None, :], pos_vec)
+            kd, vd = kc, vc
         else:
             # write [B, T, KV, hd] -> head-major cache [B, KV, S, hd] at per-seq pos
             upd = jax.vmap(lambda c, new, p: jax.lax.dynamic_update_slice(c, new, (0, p, 0)))
@@ -191,8 +227,14 @@ def forward_tokens(cfg: ModelConfig, weights, tokens, cache, pos, impl="xla",
 
             attn = decode_attention_auto(
                 q.reshape(b, kv, g, cfg.head_dim), kd, vd, pos_vec,
-                cfg.attn_score_scale).reshape(b, t, kv, g, cfg.v_head_dim)
+                cfg.attn_score_scale, k_scale=ksc, v_scale=vsc,
+            ).reshape(b, t, kv, g, cfg.v_head_dim)
         else:
+            if quantized:
+                from llamatpu.ops.kv_quant import dequantize_kv
+
+                kd = dequantize_kv(kd, ksc)
+                vd = dequantize_kv(vd, vsc)
             attn = _attention(cfg, q.reshape(b, t, kv, g, cfg.head_dim), kd, vd, pos_vec, t)
         attn = attn.reshape(b, t, kv * g * cfg.v_head_dim).astype(x.dtype)
         attn_out = matmul(lw["wo"], attn, impl)
@@ -205,7 +247,7 @@ def forward_tokens(cfg: ModelConfig, weights, tokens, cache, pos, impl="xla",
         if cfg.residual_scale != 1.0:
             ffn = (ffn.astype(jnp.float32) * cfg.residual_scale).astype(x.dtype)
         x = x + ffn
-        return x, (kc, vc)
+        return x, ((kc, vc, ksc, vsc) if quantized else (kc, vc))
 
     if paged:
         x, (k_new, v_new) = jax.lax.scan(layer_fn, x,
@@ -213,6 +255,11 @@ def forward_tokens(cfg: ModelConfig, weights, tokens, cache, pos, impl="xla",
         from llamatpu.runtime.paged_cache import PagedKVCache as _P
 
         new_cache = _P(k_new, v_new, cache.block_size)
+    elif quantized:
+        x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
+            layer_fn, x, (weights["layers"], cache.k, cache.v,
+                          cache.k_scale, cache.v_scale))
+        new_cache = KVCache(k_new, v_new, ks_new, vs_new)
     else:
         x, (k_new, v_new) = jax.lax.scan(layer_fn, x, (weights["layers"], cache.k, cache.v))
         new_cache = KVCache(k_new, v_new)

@@ -173,21 +173,183 @@ def decode_attention_split(q, kc, vc, pos_vec, scale: float,
     )(pos, q, kc, vc)
 
 
+def _kernel_q(pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref, *, scale):
+    """Int8-KV variant: per-(token, head) scales fold into the dots as [1, S]
+    row multiplies (see ops/kv_quant.py) — no dequantized stripe materialized.
+    Blocks: ks/vs [1, 1, 1, S] f32."""
+    q = q_ref[0, 0].astype(jnp.float32)          # [G, hd]
+    k = k_ref[0, 0].astype(jnp.float32)          # [S, hd] int8 -> f32
+    v = v_ref[0, 0].astype(jnp.float32)          # [S, vhd]
+    ks = ks_ref[0, 0, 0][None, :]                # [1, S]
+    vs = vs_ref[0, 0, 0][None, :]
+    scores = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale * ks  # [G, S]
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    scores = jnp.where(s_idx <= pos_ref[0, 0], scores, NEG_INF)
+    m = jnp.max(scores, axis=1, keepdims=True)
+    e = jnp.exp(scores - m)
+    att = e / jnp.sum(e, axis=1, keepdims=True)
+    o_ref[0, 0] = jax.lax.dot_general(
+        att * vs, v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def decode_attention_q(q, kc, vc, k_scale, v_scale, pos_vec, scale: float,
+                       interpret: bool = False):
+    """Int8-KV decode attention. kc/vc int8 [B, KV, S, hd]; k_scale/v_scale
+    f32 [B, KV, 1, S]; otherwise as `decode_attention`."""
+    b, kv, g, hd = q.shape
+    s = kc.shape[2]
+    vhd = vc.shape[3]
+    pos2 = pos_vec.reshape(b, 1).astype(jnp.int32)
+    scale_spec = pl.BlockSpec((1, 1, 1, s), lambda bi, hi: (bi, hi, 0, 0),
+                              memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel_q, scale=scale),
+        grid=(b, kv),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda bi, hi: (bi, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, g, hd), lambda bi, hi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s, hd), lambda bi, hi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s, vhd), lambda bi, hi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            scale_spec,
+            scale_spec,
+        ],
+        out_specs=pl.BlockSpec((1, 1, g, vhd), lambda bi, hi: (bi, hi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, kv, g, vhd), jnp.float32),
+        interpret=interpret,
+    )(pos2, q, kc, vc, k_scale, v_scale)
+
+
+def _split_kernel_q(pos_pref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
+                    m_ref, l_ref, acc_ref, *, scale, s_tile):
+    """Int8-KV splitKV: online softmax over tiles with the scale folds of
+    `_kernel_q`."""
+    bi = pl.program_id(0)
+    ti = pl.program_id(2)
+    nt = pl.num_programs(2)
+    pos = pos_pref[bi]
+
+    @pl.when(ti == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    start = ti * s_tile
+
+    @pl.when(start <= pos)
+    def _tile():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        ks = ks_ref[0, 0, 0][None, :]            # [1, Ts]
+        vs = vs_ref[0, 0, 0][None, :]
+        scores = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale * ks
+        s_idx = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + start
+        scores = jnp.where(s_idx <= pos, scores, NEG_INF)
+        m_prev = jnp.max(m_ref[...], axis=1, keepdims=True)
+        l_prev = jnp.max(l_ref[...], axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        e = jnp.exp(scores - m_new)
+        l_new = l_prev * alpha + jnp.sum(e, axis=1, keepdims=True)
+        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+            e * vs, v, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(ti == nt - 1)
+    def _finalize():
+        l = jnp.max(l_ref[...], axis=1, keepdims=True)
+        o_ref[0, 0] = acc_ref[...] / l
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "s_tile", "interpret"))
+def decode_attention_split_q(q, kc, vc, k_scale, v_scale, pos_vec, scale: float,
+                             s_tile: int = 1024, interpret: bool = False):
+    """Int8-KV KV-tiled decode attention with the same DMA-clamped block maps
+    as `decode_attention_split`."""
+    b, kv, g, hd = q.shape
+    s = kc.shape[2]
+    vhd = vc.shape[3]
+    assert s % s_tile == 0, (s, s_tile)
+    assert s_tile & (s_tile - 1) == 0, s_tile
+    shift = s_tile.bit_length() - 1
+    nt = s // s_tile
+    pos = pos_vec.astype(jnp.int32)
+
+    def kv_index(bi, hi, ti, pos_pref):
+        return (bi, hi, jnp.minimum(ti, pos_pref[bi] >> shift), 0)
+
+    def sc_index(bi, hi, ti, pos_pref):
+        return (bi, hi, 0, jnp.minimum(ti, pos_pref[bi] >> shift))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, kv, nt),
+        in_specs=[
+            pl.BlockSpec((1, 1, g, hd), lambda bi, hi, ti, pp: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, s_tile, hd), kv_index),
+            pl.BlockSpec((1, 1, s_tile, vhd), kv_index),
+            pl.BlockSpec((1, 1, 1, s_tile), sc_index),
+            pl.BlockSpec((1, 1, 1, s_tile), sc_index),
+        ],
+        out_specs=pl.BlockSpec((1, 1, g, vhd),
+                               lambda bi, hi, ti, pp: (bi, hi, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((g, 128), jnp.float32),
+            pltpu.VMEM((g, 128), jnp.float32),
+            pltpu.VMEM((g, vhd), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_split_kernel_q, scale=scale, s_tile=s_tile),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, kv, g, vhd), jnp.float32),
+        interpret=interpret,
+    )(pos, q, kc, vc, k_scale, v_scale)
+
+
 SPLIT_THRESHOLD_BYTES = 16384  # S * itemsize: full-stripe VMEM (K+V, double-
 _SPLIT_TILE = 1024             # buffered) hits the 16M scoped limit past this
                                # (bf16 S=8192 measured at 16.01M on v5e)
 
 
-def decode_attention_auto(q, kc, vc, pos_vec, scale: float):
+def _pick_tile(s: int) -> int:
+    # largest power-of-two tile that divides S (the full kernel VMEM-OOMs
+    # past ~8k, so prefer split whenever a legal tiling exists)
+    tile = _SPLIT_TILE
+    while tile >= 128 and s % tile != 0:
+        tile //= 2
+    return tile
+
+
+def decode_attention_auto(q, kc, vc, pos_vec, scale: float,
+                          k_scale=None, v_scale=None):
     interpret = jax.default_backend() != "tpu"
     s = kc.shape[2]
-    if s * kc.dtype.itemsize >= SPLIT_THRESHOLD_BYTES:
-        # largest power-of-two tile that divides S (the full kernel VMEM-OOMs
-        # past ~8k, so prefer split whenever a legal tiling exists)
-        tile = _SPLIT_TILE
-        while tile >= 128 and s % tile != 0:
-            tile //= 2
+    quantized = k_scale is not None
+    split = s * kc.dtype.itemsize >= SPLIT_THRESHOLD_BYTES
+    if split:
+        tile = _pick_tile(s)
         if tile >= 128:
+            if quantized:
+                return decode_attention_split_q(q, kc, vc, k_scale, v_scale,
+                                                pos_vec, scale, s_tile=tile,
+                                                interpret=interpret)
             return decode_attention_split(q, kc, vc, pos_vec, scale,
                                           s_tile=tile, interpret=interpret)
+    if quantized:
+        return decode_attention_q(q, kc, vc, k_scale, v_scale, pos_vec, scale,
+                                  interpret=interpret)
     return decode_attention(q, kc, vc, pos_vec, scale, interpret=interpret)

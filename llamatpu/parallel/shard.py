@@ -72,11 +72,17 @@ def weight_shardings(cfg: ModelConfig, mesh: Mesh, weights: dict) -> dict:
     }
 
 
-def cache_shardings(cfg: ModelConfig, mesh: Mesh):
-    """KVCache sharding: [L, B, n_kv, S, hd] -> batch on dp, kv heads on tp."""
+def cache_shardings(cfg: ModelConfig, mesh: Mesh, cache=None):
+    """KVCache sharding: [L, B, n_kv, S, hd] -> batch on dp, kv heads on tp.
+    Scale rows of an int8 cache ([L, B, n_kv, 1, S]) shard identically. Pass
+    the cache to get a matching pytree (handles the optional scale fields)."""
+    import jax
+
     from llamatpu.models.transformer import KVCache
 
     spec = NamedSharding(mesh, P(None, "dp", "tp", None, None))
+    if cache is not None:
+        return jax.tree.map(lambda _: spec, cache)
     return KVCache(spec, spec)
 
 

@@ -100,7 +100,7 @@ class Engine:
         if self.mesh is not None:
             from llamatpu.parallel import cache_shardings
 
-            cache = jax.device_put(cache, cache_shardings(self.cfg, self.mesh))
+            cache = jax.device_put(cache, cache_shardings(self.cfg, self.mesh, cache))
         return cache
 
     # ------------------------------------------------------------------

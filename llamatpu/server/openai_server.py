@@ -235,6 +235,8 @@ def serve(args) -> None:
     from llamatpu.models.loader import load_model
     from llamatpu.runtime.engine import Engine
 
+    from llamatpu.cli import _cache_dtype
+
     model = load_model(args.model, max_tokens=args.max_tokens)
     cache_len = (min(args.max_tokens, model.cfg.context_length)
                  if args.max_tokens else None)
@@ -253,11 +255,12 @@ def serve(args) -> None:
             from llamatpu.runtime.batch_engine import BatchEngine
 
             bengine = BatchEngine(model, batch_size=args.batch_size, impl=args.impl,
-                                  prefill_chunk=args.prefill_chunk, cache_len=cache_len)
+                                  prefill_chunk=args.prefill_chunk, cache_len=cache_len,
+                                  cache_dtype=_cache_dtype(args))
         service = BatchedInferenceService(model, bengine)
     else:
         engine = Engine(model, impl=args.impl, prefill_chunk=args.prefill_chunk,
-                        cache_len=cache_len)
+                        cache_len=cache_len, cache_dtype=_cache_dtype(args))
         service = InferenceService(model, engine)
     model_id = model.metadata.get("general.name", "llamatpu")
     srv = make_server(service, args.host, args.port, model_id)
