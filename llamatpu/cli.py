@@ -65,6 +65,8 @@ def build_parser() -> argparse.ArgumentParser:
     serve.add_argument("--kv-blocks", type=int, default=0,
                        help="paged pool size in blocks (0 = auto)")
     serve.add_argument("--kv-block-size", type=int, default=16)
+    serve.add_argument("--no-prefix-cache", action="store_true",
+                       help="disable KV prefix reuse across requests")
 
     ppl = sub.add_parser("ppl", help="perplexity evaluation")
     common(ppl)

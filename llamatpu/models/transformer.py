@@ -64,6 +64,22 @@ class KVCache:
         return self.k_scale is not None
 
 
+def physical_cache_len(logical: int, prefill_chunk: int) -> int:
+    """Cache positions to ALLOCATE for `logical` usable positions.
+
+    Chunked prefill pads its final chunk to the full chunk length, so the KV
+    write window can extend up to `prefill_chunk - 1` positions past the last
+    real token. XLA's dynamic_update_slice CLAMPS an out-of-range start index,
+    which would silently wrap the padded window back over live positions and
+    corrupt the cache (bug found via prefix-cache warm/cold divergence) —
+    slack positions make the write always in-bounds instead. Rounded up to a
+    multiple of 512 so splitKV keeps large sequence tiles."""
+    phys = logical + prefill_chunk
+    if phys >= 512:
+        phys = -(-phys // 512) * 512
+    return phys
+
+
 def init_cache(cfg: ModelConfig, batch: int, dtype=jnp.bfloat16, length: int | None = None) -> KVCache:
     s = length or cfg.context_length
     k = jnp.zeros((cfg.n_layers, batch, cfg.n_kv_heads, s, cfg.head_dim), dtype)

@@ -64,17 +64,14 @@ class BatchEngine:
 
         def prefill_lane_fn(weights, tokens, cache, lane, pos, logit_idx, rng, temp, topp):
             """Prefill one chunk of one lane: slice the lane's cache stripe,
-            run as batch-1, scatter the stripe back."""
-            lane_cache = KVCache(
-                jax.lax.dynamic_slice_in_dim(cache.k, lane, 1, axis=1),
-                jax.lax.dynamic_slice_in_dim(cache.v, lane, 1, axis=1),
-            )
+            run as batch-1, scatter the stripe back (lane axis is 1 for both
+            the int8 k/v arrays and their scale rows)."""
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, lane, 1, axis=1)
+            lane_cache = jax.tree.map(sl, cache)
             logits, lane_cache = forward_tokens(cfg, weights, tokens, lane_cache,
                                                 pos, impl=impl_, logit_index=logit_idx)
-            cache = KVCache(
-                jax.lax.dynamic_update_slice_in_dim(cache.k, lane_cache.k, lane, axis=1),
-                jax.lax.dynamic_update_slice_in_dim(cache.v, lane_cache.v, lane, axis=1),
-            )
+            up = lambda a, b: jax.lax.dynamic_update_slice_in_dim(a, b, lane, axis=1)
+            cache = jax.tree.map(up, cache, lane_cache)
             rng, sub = jax.random.split(rng)
             tok = _sample_lanes(logits, sub, jnp.full((1,), temp), jnp.full((1,), topp))
             return tok, cache, rng
@@ -113,11 +110,17 @@ class BatchEngine:
             self.weights = jax.device_put(model.weights)
             jax.block_until_ready(jax.tree.leaves(self.weights))
         self.metrics.weight_upload_s = t.elapsed
-        self.cache = init_cache(cfg, B, cache_dtype, self.cache_len)
+        from llamatpu.models.transformer import physical_cache_len
+
+        self.cache = init_cache(cfg, B, cache_dtype,
+                                physical_cache_len(self.cache_len, self.prefill_chunk))
 
     # ------------------------------------------------------------------
     def reset(self) -> None:
-        self.cache = init_cache(self.cfg, self.batch_size, self.cache_dtype, self.cache_len)
+        from llamatpu.models.transformer import physical_cache_len
+
+        self.cache = init_cache(self.cfg, self.batch_size, self.cache_dtype,
+                                physical_cache_len(self.cache_len, self.prefill_chunk))
 
     def prefill_lane(self, lane: int, tokens: list[int], start_pos: int = 0,
                      temperature: float = 0.0, top_p: float = 0.0) -> int:

@@ -96,7 +96,10 @@ class Engine:
             self._aot_compile()
 
     def _new_cache(self):
-        cache = init_cache(self.cfg, self.batch_size, self.cache_dtype, self.cache_len)
+        from llamatpu.models.transformer import physical_cache_len
+
+        cache = init_cache(self.cfg, self.batch_size, self.cache_dtype,
+                           physical_cache_len(self.cache_len, self.prefill_chunk))
         if self.mesh is not None:
             from llamatpu.parallel import cache_shardings
 
@@ -182,6 +185,12 @@ class Engine:
         self.cache = self._new_cache()
         if seed is not None:
             self._rng = jax.random.PRNGKey(seed)
+
+    def reseed(self, seed: int) -> None:
+        """Reset the sampling rng WITHOUT dropping the KV cache (prefix-cache
+        reuse across requests keeps the cache; stale positions beyond the
+        written length are never attended)."""
+        self._rng = jax.random.PRNGKey(seed)
 
     def prefill(self, tokens: list[int], start_pos: int = 0,
                 temperature=None, top_p=None):

@@ -160,7 +160,9 @@ class _Handler(BaseHTTPRequestHandler):
             "choices": [choice],
             "usage": {"prompt_tokens": r.prompt_tokens,
                       "completion_tokens": r.completion_tokens,
-                      "total_tokens": r.prompt_tokens + r.completion_tokens},
+                      "total_tokens": r.prompt_tokens + r.completion_tokens,
+                      "prompt_tokens_details": {
+                          "cached_tokens": getattr(r, "cached_tokens", 0)}},
         })
 
     def _chunk(self, rid, obj, created, delta, finish, chat) -> bytes:
@@ -261,7 +263,8 @@ def serve(args) -> None:
     else:
         engine = Engine(model, impl=args.impl, prefill_chunk=args.prefill_chunk,
                         cache_len=cache_len, cache_dtype=_cache_dtype(args))
-        service = InferenceService(model, engine)
+        service = InferenceService(model, engine,
+                                   prefix_cache=not getattr(args, "no_prefix_cache", False))
     model_id = model.metadata.get("general.name", "llamatpu")
     srv = make_server(service, args.host, args.port, model_id)
     print(f"llamatpu serving {model_id} on http://{args.host}:{args.port}")

@@ -36,6 +36,7 @@ class Result:
     prompt_tokens: int
     completion_tokens: int
     finish_reason: str  # "stop" | "length"
+    cached_tokens: int = 0  # prompt tokens served from the KV prefix cache
 
 
 def _msg_dict(m) -> dict:
@@ -114,9 +115,21 @@ def stop_tokens_for(model: LoadedModel, req: Request) -> set[int]:
 
 
 class InferenceService:
-    def __init__(self, model: LoadedModel, engine: Engine):
+    """Thread-safe serialized executor with KV PREFIX CACHING: the token
+    sequence materialized in the engine's cache is remembered across requests,
+    and a new request's common prefix (shared system prompt, replayed
+    conversation turns) skips re-prefill — generation starts at the divergence
+    point. Exact: prefill is deterministic and positions beyond the written
+    length are never attended (engine invariant), so a warm result bit-matches
+    a cold one for greedy decoding. The reference re-ingests the full prompt
+    every request (InferenceService.java:58-99 — no KV reuse)."""
+
+    def __init__(self, model: LoadedModel, engine: Engine,
+                 prefix_cache: bool = True):
         self.model = model
         self.engine = engine
+        self.prefix_cache = prefix_cache
+        self._cached_tokens: list[int] = []
         self._lock = threading.Lock()
 
     def generate(self, req: Request, on_piece=None) -> Result:
@@ -125,7 +138,15 @@ class InferenceService:
             tok = self.model.tokenizer
             tokens = encode_request(self.model, req)
             engine = self.engine
-            engine.reset(seed=req.seed)
+            engine.reseed(req.seed)
+            # reuse at most len-1 tokens: the final prompt token must run
+            # through prefill to produce the first sampled token's logits
+            reuse = 0
+            if self.prefix_cache:
+                max_reuse = min(len(self._cached_tokens), len(tokens) - 1)
+                while reuse < max_reuse and self._cached_tokens[reuse] == tokens[reuse]:
+                    reuse += 1
+            self._cached_tokens = []  # invalid until generation completes
             budget = min(req.max_tokens, engine.cache_len - len(tokens) - 1)
             if budget <= 0:
                 return Result("", len(tokens), 0, "length")
@@ -152,8 +173,15 @@ class InferenceService:
                 return hit  # truthy return cancels the engine loop
 
             res = engine.generate(
-                tokens, budget, stop_tokens=stop_tokens_for(self.model, req),
+                tokens[reuse:], budget, start_pos=reuse,
+                stop_tokens=stop_tokens_for(self.model, req),
                 on_token=on_token, temperature=req.temperature, top_p=req.top_p)
+            if self.prefix_cache:
+                # decode wrote KV for every generated token except the last
+                self._cached_tokens = tokens + res.tokens[:-1]
+                m = engine.metrics
+                m.extra["prefix_cached_tokens"] = (
+                    m.extra.get("prefix_cached_tokens", 0) + reuse)
             if res.stop_reason != "cancelled":
                 tail = sd.flush()
                 if matcher is not None:
@@ -169,7 +197,8 @@ class InferenceService:
             finish = ("stop" if res.stop_reason in ("stop_token", "cancelled")
                       else "length")
             n_completion = len(res.tokens)
-            return Result("".join(pieces), len(tokens), n_completion, finish)
+            return Result("".join(pieces), len(tokens), n_completion, finish,
+                          cached_tokens=reuse)
 
 
 class BatchedInferenceService:
