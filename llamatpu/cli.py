@@ -36,6 +36,8 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--tp", type=int, default=0,
                         help="tensor-parallel degree (0 = single device)")
         sp.add_argument("--dp", type=int, default=1, help="data-parallel degree")
+        sp.add_argument("--ep", action="store_true",
+                        help="expert-parallel MoE: whole experts sharded over tp")
         sp.add_argument("--profile-dir", default=None,
                         help="capture a jax.profiler trace into this directory")
         sp.add_argument("--dump-hlo", default=None,
@@ -142,7 +144,7 @@ def cmd_run(args) -> int:
     engine = Engine(model, impl=args.impl, temperature=temp, top_p=top_p,
                     seed=args.seed, prefill_chunk=args.prefill_chunk,
                     cache_dtype=_cache_dtype(args), metrics=metrics,
-                    mesh=_mesh(args))
+                    mesh=_mesh(args), ep=getattr(args, "ep", False))
     if args.dump_hlo:
         from llamatpu.utils.profiling import dump_decode_hlo
 

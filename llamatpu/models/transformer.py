@@ -64,20 +64,29 @@ class KVCache:
         return self.k_scale is not None
 
 
+PAD_GRANULE = 128  # final prefill chunks pad to this (8-sublane × MXU friendly)
+
+
 def physical_cache_len(logical: int, prefill_chunk: int) -> int:
     """Cache positions to ALLOCATE for `logical` usable positions.
 
-    Chunked prefill pads its final chunk to the full chunk length, so the KV
-    write window can extend up to `prefill_chunk - 1` positions past the last
-    real token. XLA's dynamic_update_slice CLAMPS an out-of-range start index,
-    which would silently wrap the padded window back over live positions and
-    corrupt the cache (bug found via prefix-cache warm/cold divergence) —
-    slack positions make the write always in-bounds instead. Rounded up to a
-    multiple of 512 so splitKV keeps large sequence tiles."""
-    phys = logical + prefill_chunk
-    if phys >= 512:
-        phys = -(-phys // 512) * 512
-    return phys
+    Chunked prefill pads its final chunk up to the next PAD_GRANULE multiple,
+    so the KV write window can extend up to `granule - 1` positions past the
+    last real token. XLA's dynamic_update_slice CLAMPS an out-of-range start
+    index, which would silently wrap the padded window back over live
+    positions and corrupt the cache (bug found via prefix-cache warm/cold
+    divergence) — slack positions make the write always in-bounds instead.
+    Slack is one granule (not a whole prefill chunk) to keep the decode
+    attention stripe close to the logical length."""
+    granule = min(prefill_chunk, PAD_GRANULE)
+    return -(-(logical + granule) // 8) * 8  # sublane-aligned
+
+
+def pad_chunk_len(real: int, prefill_chunk: int) -> int:
+    """Compiled length for a final partial prefill chunk: next PAD_GRANULE
+    multiple (bounded program count: prefill_chunk/PAD_GRANULE variants)."""
+    granule = min(prefill_chunk, PAD_GRANULE)
+    return min(prefill_chunk, -(-real // granule) * granule)
 
 
 def init_cache(cfg: ModelConfig, batch: int, dtype=jnp.bfloat16, length: int | None = None) -> KVCache:
@@ -126,15 +135,39 @@ def _index_qtensor(w, i):
     return w[i]
 
 
-def _moe_ffn(cfg: ModelConfig, h, lw, impl):
+GROUPED_MOE_MIN_TOKENS = 16  # below this the per-token scan is cheaper
+
+
+def _moe_ffn(cfg: ModelConfig, h, lw, impl, ep_mesh=None):
     """Qwen2-MoE FFN: softmax-over-all-experts router, top-k WITHOUT
     renormalization (norm_topk_prob=false), plus an always-on shared expert
-    gated by sigmoid(shared_gate_inp · h) (InferenceCore.java:366-415)."""
+    gated by sigmoid(shared_gate_inp · h) (InferenceCore.java:366-415).
+
+    Prefill windows (N >= GROUPED_MOE_MIN_TOKENS, pallas impl) run the routed
+    experts through the grouped ragged matmul (ops/moe_grouped.py) instead of
+    the per-token scan; both compute identical math. With ep_mesh set, expert
+    weights are sharded whole-expert over "tp" and ALL routed compute runs
+    under shard_map (parallel/expert.py)."""
     b, t, d = h.shape
     hf = h.reshape(b * t, d)
     router_logits = matmul(lw["router"], hf, impl).astype(jnp.float32)  # [N, E]
     probs = jax.nn.softmax(router_logits, axis=-1)
     top_w, top_i = jax.lax.top_k(probs, cfg.n_experts_used)  # no renorm
+
+    if ep_mesh is not None:
+        from llamatpu.parallel.expert import moe_ffn_expert_parallel
+
+        tm = 128 if b * t * cfg.n_experts_used >= 1024 else 8
+        routed = moe_ffn_expert_parallel(cfg, hf, top_w, top_i, lw, ep_mesh,
+                                         tm=tm).astype(h.dtype)
+        return _moe_shared(cfg, h, hf, routed, lw, impl)
+
+    if impl == "pallas" and b * t >= GROUPED_MOE_MIN_TOKENS:
+        from llamatpu.ops.moe_grouped import moe_ffn_grouped
+
+        tm = 128 if b * t * cfg.n_experts_used >= 1024 else 32
+        routed = moe_ffn_grouped(cfg, hf, top_w, top_i, lw, tm=tm).astype(h.dtype)
+        return _moe_shared(cfg, h, hf, routed, lw, impl)
 
     def one_token(hv, ws, ids):
         def one_expert(carry, ji):
@@ -149,7 +182,11 @@ def _moe_ffn(cfg: ModelConfig, h, lw, impl):
         return out
 
     routed = jax.vmap(one_token)(hf, top_w, top_i).astype(h.dtype)
+    return _moe_shared(cfg, h, hf, routed, lw, impl)
 
+
+def _moe_shared(cfg: ModelConfig, h, hf, routed, lw, impl):
+    b, t, d = h.shape
     sg = matmul(lw["shared_gate"], hf, impl)
     su = matmul(lw["shared_up"], hf, impl)
     sact = jax.nn.silu(sg.astype(jnp.float32)).astype(h.dtype) * su
@@ -161,7 +198,8 @@ def _moe_ffn(cfg: ModelConfig, h, lw, impl):
 
 
 def forward_tokens(cfg: ModelConfig, weights, tokens, cache, pos, impl="xla",
-                   last_logit_only=False, logit_index=None, tables=None):
+                   last_logit_only=False, logit_index=None, tables=None,
+                   ep_mesh=None, s_limit: int | None = None):
     """Run T tokens at absolute positions pos..pos+T-1 through the full model.
 
     tokens: int32 [B, T]; pos: scalar int32 OR per-sequence vector [B] (the
@@ -244,6 +282,7 @@ def forward_tokens(cfg: ModelConfig, weights, tokens, cache, pos, impl="xla",
             attn = decode_attention_auto(
                 q.reshape(b, kv, g, cfg.head_dim), kd, vd, pos_vec,
                 cfg.attn_score_scale, k_scale=ksc, v_scale=vsc,
+                s_limit=s_limit,
             ).reshape(b, t, kv, g, cfg.v_head_dim)
         else:
             if quantized:
@@ -251,6 +290,11 @@ def forward_tokens(cfg: ModelConfig, weights, tokens, cache, pos, impl="xla",
 
                 kd = dequantize_kv(kd, ksc)
                 vd = dequantize_kv(vd, vsc)
+            if s_limit and s_limit < kd.shape[2]:
+                # static slice: XLA folds the offset/limit into the dot; the
+                # rows past the logical length are write-slack, never attended
+                lim = -(-s_limit // 8) * 8
+                kd, vd = kd[:, :, :lim], vd[:, :, :lim]
             attn = _attention(cfg, q.reshape(b, t, kv, g, cfg.head_dim), kd, vd, pos_vec, t)
         attn = attn.reshape(b, t, kv * g * cfg.v_head_dim).astype(x.dtype)
         attn_out = matmul(lw["wo"], attn, impl)
@@ -259,7 +303,8 @@ def forward_tokens(cfg: ModelConfig, weights, tokens, cache, pos, impl="xla",
         x = x + attn_out
 
         h2 = rmsnorm(x, lw["ffn_norm"], cfg.rms_norm_eps)
-        ffn = _moe_ffn(cfg, h2, lw, impl) if cfg.is_moe else _dense_ffn(cfg, h2, lw, impl)
+        ffn = (_moe_ffn(cfg, h2, lw, impl, ep_mesh) if cfg.is_moe
+               else _dense_ffn(cfg, h2, lw, impl))
         if cfg.residual_scale != 1.0:
             ffn = (ffn.astype(jnp.float32) * cfg.residual_scale).astype(x.dtype)
         x = x + ffn

@@ -1,0 +1,232 @@
+"""Grouped (ragged) expert matmul for MoE prefill.
+
+The decode path routes each token through its top-k experts with a gathered
+per-token scan (transformer._moe_ffn) — right for B=1 where only k expert
+row-sets are touched. For PREFILL that shape is catastrophic: T sequential
+scan steps of tiny GEMVs. The reference has no MoE GPU kernels at all (MoE
+runs on its CPU path, InferenceCore.java:366-415); this is the TPU-native
+design for the SURVEY §2.5 "MoE kernels" row:
+
+1. flatten the [N, k] routing to N*k (token, expert) assignments
+2. stable-sort by expert; pad each expert's segment to the m-tile size so
+   every m-tile belongs to EXACTLY ONE expert
+3. a Pallas matmul over grid (m_tiles, o_tiles) whose weight block index map
+   reads the tile->expert table from scalar prefetch: each m-tile streams only
+   its expert's (still-quantized) weight block from HBM — total weight traffic
+   = sum over USED experts of their matrix bytes + one block per partial tile,
+   vs. N x E for a dense-all-experts matmul
+4. scatter-add the down-projected rows back per token, scaled by the routing
+   weights (padding rows carry weight 0)
+
+Dense (bf16/f32) experts use the same kernel without the dequant step.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from llamatpu.models.weights import QTensor
+
+BLOCK = 32  # ggml quant block (scale group) size
+
+
+# ----------------------------------------------------------------- routing
+def sort_by_expert(top_i, n_experts: int, tm: int):
+    """Flatten + sort the [N, k] routing into expert-contiguous, tile-aligned
+    rows. Returns (row_token [Mp], dest [N*k], tile_expert [Mp//tm]) where
+    Mp = N*k + E*tm (static upper bound; unused rows map to token N = the
+    zero pad row and weight 0)."""
+    n, k = top_i.shape
+    nk = n * k
+    mp = -(-nk // tm) * tm + n_experts * tm  # multiple of tm (grid exactness)
+    eid = top_i.reshape(nk).astype(jnp.int32)
+    tok = jnp.arange(nk, dtype=jnp.int32) // k
+
+    sort_idx = jnp.argsort(eid, stable=True)
+    eid_s = eid[sort_idx]
+    tok_s = tok[sort_idx]
+
+    counts = jnp.bincount(eid, length=n_experts)               # [E]
+    padded = -(-counts // tm) * tm                             # tile-aligned
+    cnt_excl = jnp.cumsum(counts) - counts                     # group starts, sorted order
+    grp_start = jnp.cumsum(padded) - padded                    # group starts, padded rows
+    j = jnp.arange(nk, dtype=jnp.int32)
+    dest_sorted = (grp_start[eid_s] + (j - cnt_excl[eid_s])).astype(jnp.int32)
+    # re-key to ORIGINAL assignment order so callers can scatter per-assignment
+    # values (routing weights) without re-sorting them
+    dest = jnp.zeros((nk,), jnp.int32).at[sort_idx].set(dest_sorted)
+
+    row_token = jnp.full((mp,), n, jnp.int32).at[dest_sorted].set(tok_s)
+
+    ends = jnp.cumsum(padded)                                  # padded group ends
+    tile_expert = jnp.searchsorted(ends, jnp.arange(mp // tm) * tm,
+                                   side="right").astype(jnp.int32)
+    tile_expert = jnp.minimum(tile_expert, n_experts - 1)      # tail tiles clamp
+    return row_token, dest, tile_expert
+
+
+# ----------------------------------------------------------------- kernel
+def _gkernel(te_ref, x_ref, w_ref, s_ref, o_ref, *, dot_dtype, interleaved):
+    # tile_expert < 0 marks an INACTIVE tile (expert-parallel: assignments
+    # belonging to other devices): skip the dot entirely — the index maps
+    # clamp to block 0 so no new weight DMA is issued either, and the output
+    # rows are zeroed (their routing weights are 0 anyway).
+    mi = pl.program_id(0)
+    active = te_ref[mi] >= 0
+
+    @pl.when(active)
+    def _():
+        w = w_ref[0]                          # [TO, I] int8
+        s = s_ref[0].astype(jnp.float32)      # [TO, I/32]
+        to, i = w.shape
+        nb = i // BLOCK
+        if interleaved:
+            s_exp = pltpu.repeat(s, BLOCK, axis=1)
+        else:
+            b_ids = jax.lax.broadcasted_iota(jnp.int32, (nb, i), 0)
+            k_ids = jax.lax.broadcasted_iota(jnp.int32, (nb, i), 1)
+            expander = (jax.lax.shift_right_logical(k_ids, 5) == b_ids).astype(jnp.float32)
+            s_exp = jax.lax.dot_general(
+                s, expander, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        wd = (w.astype(jnp.float32) * s_exp).astype(dot_dtype)
+        x = x_ref[:].astype(dot_dtype)
+        o_ref[:] = jax.lax.dot_general(
+            x, wd, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+
+def _gkernel_dense(te_ref, x_ref, w_ref, o_ref, *, dot_dtype):
+    mi = pl.program_id(0)
+    active = te_ref[mi] >= 0
+
+    @pl.when(active)
+    def _():
+        wd = w_ref[0].astype(dot_dtype)
+        x = x_ref[:].astype(dot_dtype)
+        o_ref[:] = jax.lax.dot_general(
+            x, wd, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+
+def _pick_to(o: int, i: int, quant: bool) -> int:
+    budget = 8 * 1024 * 1024
+    for to in (512, 256, 128):
+        if o % to == 0 and 2 * (to * i * (1 if quant else 2) + to * 4 * (i // BLOCK)) <= budget:
+            return to
+    return o
+
+
+@functools.partial(jax.jit, static_argnames=("tm", "interpret", "interleaved"))
+def _grouped_matmul_q(qs, scales, x_sorted, tile_expert, tm, interpret, interleaved):
+    e, o, i = qs.shape
+    mp = x_sorted.shape[0]
+    to = _pick_to(o, i, True)
+    dot_dtype = jnp.float32 if x_sorted.dtype == jnp.float32 else jnp.bfloat16
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(mp // tm, o // to),
+        in_specs=[
+            pl.BlockSpec((tm, i), lambda mi, oi, te: (mi, 0)),
+            pl.BlockSpec((1, to, i),
+                         lambda mi, oi, te: (jnp.maximum(te[mi], 0), oi, 0)),
+            pl.BlockSpec((1, to, i // BLOCK),
+                         lambda mi, oi, te: (jnp.maximum(te[mi], 0), oi, 0)),
+        ],
+        out_specs=pl.BlockSpec((tm, to), lambda mi, oi, te: (mi, oi)),
+    )
+    return pl.pallas_call(
+        functools.partial(_gkernel, dot_dtype=dot_dtype, interleaved=interleaved),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((mp, o), jnp.float32),
+        interpret=interpret,
+    )(tile_expert, x_sorted, qs, scales)
+
+
+@functools.partial(jax.jit, static_argnames=("tm", "interpret"))
+def _grouped_matmul_dense(w, x_sorted, tile_expert, tm, interpret):
+    e, o, i = w.shape
+    mp = x_sorted.shape[0]
+    to = _pick_to(o, i, False)
+    dot_dtype = jnp.float32 if x_sorted.dtype == jnp.float32 else jnp.bfloat16
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(mp // tm, o // to),
+        in_specs=[
+            pl.BlockSpec((tm, i), lambda mi, oi, te: (mi, 0)),
+            pl.BlockSpec((1, to, i),
+                         lambda mi, oi, te: (jnp.maximum(te[mi], 0), oi, 0)),
+        ],
+        out_specs=pl.BlockSpec((tm, to), lambda mi, oi, te: (mi, oi)),
+    )
+    return pl.pallas_call(
+        functools.partial(_gkernel_dense, dot_dtype=dot_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((mp, o), jnp.float32),
+        interpret=interpret,
+    )(tile_expert, x_sorted, w)
+
+
+def grouped_matmul(w, x_sorted, tile_expert, tm: int, interpret: bool | None = None):
+    """y[Mp, O] = x_sorted[Mp, I] @ W[tile_expert[row//tm]]^T (tile-aligned
+    grouped matmul; W: QTensor [E, O, I] or dense [E, O, I])."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if isinstance(w, QTensor):
+        x = x_sorted
+        if w.layout == "interleaved":
+            from llamatpu.models.weights import interleave_activation
+
+            x = interleave_activation(x_sorted)
+        return _grouped_matmul_q(w.qs, w.scales, x, tile_expert, tm, interpret,
+                                 w.layout == "interleaved")
+    return _grouped_matmul_dense(w, x_sorted, tile_expert, tm, interpret)
+
+
+# ----------------------------------------------------------------- FFN
+def grouped_ffn(lw, hf, top_w, row_token, dest, tile_expert, tm: int):
+    """gate/up/act/down over expert-sorted rows + weighted scatter-add back
+    to tokens. Shared by the single-device and expert-parallel paths."""
+    n, d = hf.shape
+
+    hf_pad = jnp.concatenate([hf, jnp.zeros((1, d), hf.dtype)], axis=0)
+    x_sorted = hf_pad[row_token]                                   # [Mp, D]
+    row_w = jnp.zeros((row_token.shape[0],), jnp.float32
+                      ).at[dest].set(top_w.reshape(-1).astype(jnp.float32))
+
+    def unpad(y, w):
+        lo = getattr(w, "logical_out", 0)
+        return y[:, :lo] if lo else y
+
+    gate = unpad(grouped_matmul(lw["gate_exps"], x_sorted, tile_expert, tm),
+                 lw["gate_exps"])
+    up = unpad(grouped_matmul(lw["up_exps"], x_sorted, tile_expert, tm),
+               lw["up_exps"])
+    act = (jax.nn.silu(gate) * up).astype(hf.dtype)                # [Mp, MH]
+    down = unpad(grouped_matmul(lw["down_exps"], act, tile_expert, tm),
+                 lw["down_exps"])                                  # [Mp, D]
+
+    out = jnp.zeros((n + 1, d), jnp.float32
+                    ).at[row_token].add(down * row_w[:, None])
+    return out[:n]
+
+
+def moe_ffn_grouped(cfg, hf, top_w, top_i, lw, tm: int = 128):
+    """Routed-expert FFN over N tokens via grouped matmuls. hf: [N, D];
+    top_w/top_i: [N, k]. Returns routed output [N, D] f32 (shared expert is
+    handled by the caller). Semantics identical to the per-token scan path
+    (top-k without renorm)."""
+    row_token, dest, tile_expert = sort_by_expert(top_i, cfg.n_experts, tm)
+    return grouped_ffn(lw, hf, top_w, row_token, dest, tile_expert, tm)

@@ -54,12 +54,15 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, *, scale):
         preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
-def decode_attention(q, kc, vc, pos_vec, scale: float, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("scale", "interpret", "s_use"))
+def decode_attention(q, kc, vc, pos_vec, scale: float, interpret: bool = False,
+                     s_use: int | None = None):
     """q: [B, KV, G, hd]; kc: [B, KV, S, hd]; vc: [B, KV, S, vhd] (head-major);
-    pos_vec: [B] (keys s <= pos are valid). Returns [B, KV, G, vhd] f32."""
+    pos_vec: [B] (keys s <= pos are valid). Returns [B, KV, G, vhd] f32.
+    s_use: read only the first s_use cache rows (the physical cache allocates
+    write-slack rows past the logical length that no query ever attends)."""
     b, kv, g, hd = q.shape
-    s = kc.shape[2]
+    s = s_use or kc.shape[2]
     vhd = vc.shape[3]
     pos2 = pos_vec.reshape(b, 1).astype(jnp.int32)
     return pl.pallas_call(
@@ -195,13 +198,13 @@ def _kernel_q(pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref, *, scale):
         preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+@functools.partial(jax.jit, static_argnames=("scale", "interpret", "s_use"))
 def decode_attention_q(q, kc, vc, k_scale, v_scale, pos_vec, scale: float,
-                       interpret: bool = False):
+                       interpret: bool = False, s_use: int | None = None):
     """Int8-KV decode attention. kc/vc int8 [B, KV, S, hd]; k_scale/v_scale
     f32 [B, KV, 1, S]; otherwise as `decode_attention`."""
     b, kv, g, hd = q.shape
-    s = kc.shape[2]
+    s = s_use or kc.shape[2]
     vhd = vc.shape[3]
     pos2 = pos_vec.reshape(b, 1).astype(jnp.int32)
     scale_spec = pl.BlockSpec((1, 1, 1, s), lambda bi, hi: (bi, hi, 0, 0),
@@ -335,7 +338,10 @@ def _pick_tile(s: int) -> int:
 
 
 def decode_attention_auto(q, kc, vc, pos_vec, scale: float,
-                          k_scale=None, v_scale=None):
+                          k_scale=None, v_scale=None, s_limit: int | None = None):
+    """s_limit: logical cache length — the full-stripe kernels read only the
+    first round8(s_limit) rows (physical write-slack rows are never attended;
+    the split kernels already clamp their DMA to the current position)."""
     interpret = jax.default_backend() != "tpu"
     s = kc.shape[2]
     quantized = k_scale is not None
@@ -349,7 +355,9 @@ def decode_attention_auto(q, kc, vc, pos_vec, scale: float,
                                                 interpret=interpret)
             return decode_attention_split(q, kc, vc, pos_vec, scale,
                                           s_tile=tile, interpret=interpret)
+    s_use = min(s, -(-s_limit // 8) * 8) if s_limit else None
     if quantized:
         return decode_attention_q(q, kc, vc, k_scale, v_scale, pos_vec, scale,
-                                  interpret=interpret)
-    return decode_attention(q, kc, vc, pos_vec, scale, interpret=interpret)
+                                  interpret=interpret, s_use=s_use)
+    return decode_attention(q, kc, vc, pos_vec, scale, interpret=interpret,
+                            s_use=s_use)

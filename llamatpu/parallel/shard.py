@@ -26,11 +26,15 @@ from llamatpu.models.config import ModelConfig
 from llamatpu.models.weights import QTensor
 
 
-def _spec_for(name: str, ndim_extra: int = 0) -> P:
-    """PartitionSpec for a stacked [L, out, in] (or [L, E, out, in]) weight."""
+def _spec_for(name: str, ndim_extra: int = 0, ep: bool = False) -> P:
+    """PartitionSpec for a stacked [L, out, in] (or [L, E, out, in]) weight.
+    With ep=True, routed-expert tensors shard the EXPERT axis over "tp"
+    (whole experts per device, parallel/expert.py) instead of out-features."""
     col = ("wq", "wk", "wv", "w1", "w3", "gate_exps", "up_exps",
            "shared_gate", "shared_up")
     row = ("wo", "w2", "down_exps", "shared_down")
+    if ep and name.endswith("_exps"):
+        return P(None, "tp", None, None)
     lead = (None,) * (1 + ndim_extra)  # layer (+ expert) axes unsharded
     if name in col:
         return P(*lead, "tp", None)
@@ -39,18 +43,29 @@ def _spec_for(name: str, ndim_extra: int = 0) -> P:
     return P()  # replicated: norms, biases handled below, router, shared_gate_inp
 
 
-def weight_shardings(cfg: ModelConfig, mesh: Mesh, weights: dict) -> dict:
+def weight_shardings(cfg: ModelConfig, mesh: Mesh, weights: dict,
+                     ep: bool = False) -> dict:
     """Pytree of NamedShardings matching the weights dict structure."""
 
     def ns(spec):
         return NamedSharding(mesh, spec)
+
+    tp = mesh.shape.get("tp", 1)
 
     def layer_spec(name, leaf):
         extra = 1 if name.endswith("_exps") else 0
         if name in ("q_bias", "k_bias", "v_bias"):
             return ns(P(None, "tp"))
         if isinstance(leaf, QTensor) or getattr(leaf, "ndim", 0) >= 3 + extra:
-            return ns(_spec_for(name, extra))
+            spec = _spec_for(name, extra, ep)
+            if isinstance(leaf, QTensor) and "tp" in spec:
+                # a QTensor's scales array has in/32 lanes: every sharded dim
+                # must divide on BOTH qs and scales (production dims do; tiny
+                # test geometries may not) — otherwise replicate the tensor
+                ax = spec.index("tp")
+                if leaf.qs.shape[ax] % tp or leaf.scales.shape[ax] % tp:
+                    return ns(P())
+            return ns(spec)
         return ns(P())
 
     layers = {}
@@ -86,7 +101,7 @@ def cache_shardings(cfg: ModelConfig, mesh: Mesh, cache=None):
     return KVCache(spec, spec)
 
 
-def shard_model(weights: dict, cfg: ModelConfig, mesh: Mesh) -> dict:
-    """device_put the weights pytree with TP/DP shardings."""
-    shardings = weight_shardings(cfg, mesh, weights)
+def shard_model(weights: dict, cfg: ModelConfig, mesh: Mesh, ep: bool = False) -> dict:
+    """device_put the weights pytree with TP/DP (+ optional EP) shardings."""
+    shardings = weight_shardings(cfg, mesh, weights, ep)
     return jax.device_put(weights, shardings)

@@ -69,7 +69,8 @@ class BatchEngine:
             sl = lambda a: jax.lax.dynamic_slice_in_dim(a, lane, 1, axis=1)
             lane_cache = jax.tree.map(sl, cache)
             logits, lane_cache = forward_tokens(cfg, weights, tokens, lane_cache,
-                                                pos, impl=impl_, logit_index=logit_idx)
+                                                pos, impl=impl_, logit_index=logit_idx,
+                                                s_limit=self.cache_len)
             up = lambda a, b: jax.lax.dynamic_update_slice_in_dim(a, b, lane, axis=1)
             cache = jax.tree.map(up, cache, lane_cache)
             rng, sub = jax.random.split(rng)
@@ -87,7 +88,8 @@ class BatchEngine:
             def body(c):
                 i, tok, cache_, pos, act, rng_, out_ = c
                 logits, cache_ = forward_tokens(cfg, weights, tok[:, None], cache_,
-                                                pos, impl=impl_, last_logit_only=True)
+                                                pos, impl=impl_, last_logit_only=True,
+                                                s_limit=self.cache_len)
                 rng_, sub = jax.random.split(rng_)
                 nxt = _sample_lanes(logits, sub, temps, topps)
                 nxt = jnp.where(act, nxt, tok)  # inactive lanes re-feed last token
@@ -126,6 +128,8 @@ class BatchEngine:
                      temperature: float = 0.0, top_p: float = 0.0) -> int:
         """Ingest a prompt into one lane's cache stripe; returns the first
         sampled token."""
+        from llamatpu.models.transformer import pad_chunk_len
+
         c = self.prefill_chunk
         n = len(tokens)
         tok = None
@@ -133,8 +137,8 @@ class BatchEngine:
         while i < n:
             chunk = tokens[i : i + c]
             r = len(chunk)
-            if r < c:
-                chunk = chunk + [0] * (c - r)
+            if r < c:  # pad final partial chunk to the next granule
+                chunk = chunk + [0] * (pad_chunk_len(r, c) - r)
             tok, self.cache, self._rng = self._prefill_lane(
                 self.weights, np.asarray([chunk], np.int32), self.cache,
                 np.int32(lane), np.int32(start_pos + i), np.int32(r - 1),

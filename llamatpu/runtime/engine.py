@@ -64,6 +64,7 @@ class Engine:
         metrics: RunMetrics | None = None,
         decode_window: int = 16,
         mesh=None,
+        ep: bool = False,
     ):
         self.model = model
         self.cfg = model.cfg
@@ -79,12 +80,14 @@ class Engine:
         self._rng = jax.random.PRNGKey(seed)
         self._progs: dict[bool, tuple] = {}
         self.mesh = mesh  # jax.sharding.Mesh for tensor/data parallelism
+        self.ep = bool(ep and mesh is not None)  # expert-parallel MoE placement
 
         with Timer() as t:
             if mesh is not None:
                 from llamatpu.parallel import shard_model
 
-                self.weights = shard_model(model.weights, self.cfg, mesh)
+                self.weights = shard_model(model.weights, self.cfg, mesh,
+                                           ep=self.ep)
             else:
                 self.weights = jax.device_put(model.weights)
             jax.block_until_ready(jax.tree.leaves(self.weights))
@@ -114,6 +117,8 @@ class Engine:
         if greedy in self._progs:
             return self._progs[greedy]
         cfg, impl, W = self.cfg, self.impl, self.decode_window
+        ep_mesh = self.mesh if self.ep else None
+        s_limit = self.cache_len
 
         def sample_fn(logits, sub, temp, topp):
             if greedy:
@@ -122,7 +127,8 @@ class Engine:
 
         def prefill_fn(weights, tokens, cache, pos, logit_idx, rng, temp, topp):
             logits, cache = forward_tokens(cfg, weights, tokens, cache, pos,
-                                           impl=impl, logit_index=logit_idx)
+                                           impl=impl, logit_index=logit_idx,
+                                           ep_mesh=ep_mesh, s_limit=s_limit)
             rng, sub = jax.random.split(rng)
             next_tok = sample_fn(logits, sub, temp, topp)
             return next_tok, logits, cache, rng
@@ -138,7 +144,8 @@ class Engine:
             def body(c):
                 i, tok, cache_, pos, rng_, out_, done = c
                 logits, cache_ = forward_tokens(cfg, weights, tok[:, None], cache_,
-                                                pos, impl=impl, last_logit_only=True)
+                                                pos, impl=impl, last_logit_only=True,
+                                                ep_mesh=ep_mesh, s_limit=s_limit)
                 rng_, sub = jax.random.split(rng_)
                 nxt = sample_fn(logits, sub, temp, topp)
                 out_ = out_.at[i].set(nxt)
@@ -201,6 +208,8 @@ class Engine:
         assert self.batch_size == 1, "Engine.prefill is single-sequence; use BatchEngine for B>1"
         greedy, temp, topp = self._resolve_sampling(temperature, top_p)
         prefill, _ = self._programs(greedy)
+        from llamatpu.models.transformer import pad_chunk_len
+
         c = self.prefill_chunk
         n = len(tokens)
         tok = logits = None
@@ -208,8 +217,8 @@ class Engine:
         while i < n:
             chunk = tokens[i : i + c]
             r = len(chunk)
-            if r < c:
-                chunk = chunk + [0] * (c - r)  # pad final partial chunk
+            if r < c:  # pad final partial chunk to the next granule
+                chunk = chunk + [0] * (pad_chunk_len(r, c) - r)
             arr = np.asarray([chunk], np.int32)
             tok, logits, self.cache, self._rng = prefill(
                 self.weights, arr, self.cache, np.int32(start_pos + i),

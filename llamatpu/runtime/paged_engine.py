@@ -126,7 +126,9 @@ class PagedBatchEngine:
             chunk = tokens[i : i + c]
             r = len(chunk)
             if r < c:
-                chunk = chunk + [0] * (c - r)
+                from llamatpu.models.transformer import pad_chunk_len
+
+                chunk = chunk + [0] * (pad_chunk_len(r, c) - r)
             tok, self.cache, self._rng = self._prefill_lane(
                 self.weights, np.asarray([chunk], np.int32), self.cache,
                 self.alloc.tables, np.int32(lane), np.int32(start_pos + i),

@@ -1,0 +1,85 @@
+"""Grouped (ragged) expert matmul vs the per-token scan MoE path: identical
+math on both dense and quantized experts, plus routing/sort invariants."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import tiny_models
+from llamatpu.gguf import GGMLType
+from llamatpu.models import loader as mloader
+from llamatpu.ops.moe_grouped import moe_ffn_grouped, sort_by_expert
+
+
+def test_sort_by_expert_invariants():
+    rng = np.random.default_rng(0)
+    n, k, e, tm = 13, 3, 5, 8
+    top_i = jnp.asarray(rng.integers(0, e, (n, k)), jnp.int32)
+    row_token, dest, tile_expert = sort_by_expert(top_i, e, tm)
+    mp = row_token.shape[0]
+    assert mp % tm == 0 and tile_expert.shape[0] == mp // tm
+    rt = np.asarray(row_token)
+    te = np.asarray(tile_expert)
+    flat_e = np.asarray(top_i).reshape(-1)
+    flat_t = np.arange(n * k) // k
+    dest_np = np.asarray(dest)
+    # every assignment lands in a tile owned by its expert
+    for j in range(n * k):
+        d = dest_np[j]
+        assert rt[d] == flat_t[j]
+        assert te[d // tm] == flat_e[j]
+    # destinations unique; non-assigned rows are the pad token
+    assert len(set(dest_np.tolist())) == n * k
+    pad_rows = np.setdiff1d(np.arange(mp), dest_np)
+    assert (rt[pad_rows] == n).all()
+
+
+@pytest.mark.parametrize("quant", [GGMLType.F32, GGMLType.Q8_0])
+@pytest.mark.parametrize("n_tokens", [16, 33])
+def test_grouped_matches_scan(tmp_path, quant, n_tokens):
+    from llamatpu.models.transformer import _moe_ffn
+    from llamatpu.ops.matmul import matmul
+
+    path = tmp_path / f"moe_{quant.name}_{n_tokens}.gguf"
+    tiny_models.build_tiny_gguf(path, family="qwen2moe", quant=quant, seed=5)
+    model = mloader.load_model(
+        str(path), mode="quant" if quant != GGMLType.F32 else "dense",
+        param_dtype=jnp.float32, load_tokenizer=False)
+    cfg = model.cfg
+    lw = jax.tree.map(lambda a: a[0], model.weights["layers"])
+
+    rng = np.random.default_rng(7)
+    h = jnp.asarray(rng.standard_normal((1, n_tokens, cfg.dim)) * 0.3, jnp.float32)
+
+    # scan reference: force the per-token path by calling with impl="xla"
+    want = _moe_ffn(cfg, h, lw, "xla")
+    got = _moe_ffn(cfg, h, lw, "pallas")  # N >= 16 -> grouped kernel
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_moe_prefill_forward_grouped_vs_oracle(tmp_path):
+    """End-to-end MoE prefill through forward_tokens on the pallas impl (the
+    grouped path) must match the per-token oracle numerics."""
+    from oracle import Oracle
+    from llamatpu.gguf import GGUFReader
+    from llamatpu.models.transformer import forward_tokens, init_cache
+
+    path = tmp_path / "moe_e2e.gguf"
+    tiny_models.build_tiny_gguf(path, family="qwen2moe", quant=GGMLType.Q8_0, seed=31)
+    model = mloader.load_model(str(path), mode="quant", param_dtype=jnp.float32,
+                               load_tokenizer=False)
+    with GGUFReader(str(path)) as r:
+        deq = {n: r.tensor_f32(n) for n in r.tensor_infos}
+    orc = Oracle(model.cfg, deq, "qwen2moe")
+
+    toks = [3, 17, 42, 9, 25, 1, 30, 8, 12, 44, 2, 19, 7, 38, 5, 21]  # 16 >= min
+    cache = init_cache(model.cfg, 1, jnp.float32)
+    logits, cache = forward_tokens(model.cfg, model.weights,
+                                   jnp.asarray([toks], jnp.int32), cache, 0,
+                                   impl="pallas")
+    for pos, tok in enumerate(toks):
+        want = orc.forward(tok, pos)
+    np.testing.assert_allclose(np.asarray(logits[0, -1]), want,
+                               rtol=5e-3, atol=5e-3)

@@ -156,6 +156,12 @@ def add_tiny_tokenizer(w: GGUFWriter, family: str) -> None:
         tokens.append(a + b)
     specials = ["<|begin_of_text|>", "<|end_of_text|>", "<|start_header_id|>",
                 "<|end_header_id|>", "<|eot_id|>"]
+    if family in ("qwen2", "qwen2moe", "qwen3"):
+        specials += ["<|im_start|>", "<|im_end|>"]
+        if family == "qwen3":
+            specials += ["<think>", "</think>"]
+    elif family == "deepseek":
+        specials += ["<｜User｜>", "<｜Assistant｜>", "<think>", "</think>"]
     tokens += specials
     types = [1] * 256 + [1] * len(pairs) + [3] * len(specials)
     w.add("tokenizer.ggml.model", "gpt2")
