@@ -12,9 +12,24 @@ dense head-major view and reuses the standard masked-attention path (positions
 beyond the lane's length are masked, so stale/foreign block contents are
 harmless). Host side: a free-list BlockAllocator grows each lane's table on
 demand and recycles blocks when lanes finish.
+
+BLOCK-LEVEL PREFIX CACHING (vLLM-style, no reference counterpart — the
+reference re-ingests every prompt from pos 0, InferenceService.java:58-99):
+full blocks are content-addressed by a chained digest of the token prefix they
+complete. A new request whose prompt starts with an already-computed chain of
+full blocks maps those blocks into its table read-only (refcounted) and
+prefills only from the first novel position. Released lanes register their
+verified full blocks back into the cache at refcount 0 (evictable LRU), so the
+pool never shrinks: eviction reclaims cold cached blocks on demand. Exactness:
+a block is only registered for positions whose KV provably holds the token fed
+at that position (prompt + device-confirmed generated tokens, minus the final
+token whose KV write is not guaranteed), and shared blocks are never written —
+writers always start at the first non-shared (block-aligned) position.
 """
 from __future__ import annotations
 
+import hashlib
+from collections import OrderedDict
 from dataclasses import dataclass
 from functools import partial
 
@@ -23,6 +38,20 @@ import jax.numpy as jnp
 import numpy as np
 
 from llamatpu.models.config import ModelConfig
+
+
+def block_hashes(tokens, block_size: int) -> list[bytes]:
+    """Chained content digests, one per FULL block: hash i commits to
+    tokens[0 : (i+1)*block_size] (chain = prev digest || block tokens), so a
+    match at block i implies the entire prefix matches."""
+    out: list[bytes] = []
+    prev = b""
+    for i in range(len(tokens) // block_size):
+        blk = np.asarray(tokens[i * block_size : (i + 1) * block_size],
+                         np.int32).tobytes()
+        prev = hashlib.blake2b(prev + blk, digest_size=16).digest()
+        out.append(prev)
+    return out
 
 
 @partial(jax.tree_util.register_dataclass, data_fields=["k_pool", "v_pool"],
@@ -69,12 +98,18 @@ def paged_gather(pool, tables):
 
 
 class BlockAllocator:
-    """Host-side free-list allocator with per-lane tables.
+    """Host-side free-list allocator with per-lane tables + prefix cache.
 
     The LAST pool block is reserved as the trash block: every unallocated
     table entry points at it, so padded prefill tails and any overflow writes
     land there instead of corrupting live blocks (their reads are masked by
-    position anyway — this guards the WRITES)."""
+    position anyway — this guards the WRITES).
+
+    Prefix-cache bookkeeping: a lane's table is [shared cached blocks][private
+    blocks]. Shared blocks are refcounted and never written (writers start at
+    the first private, block-aligned position). Cached blocks at refcount 0
+    live in an LRU and are evicted (hash unregistered, block reused) only when
+    the free list runs dry."""
 
     def __init__(self, n_blocks: int, n_lanes: int, max_blocks_per_lane: int):
         assert n_blocks >= 2, "need at least one usable block + the trash block"
@@ -82,35 +117,92 @@ class BlockAllocator:
         self.trash_block = n_blocks - 1
         self.max_blocks_per_lane = max_blocks_per_lane
         self._free = list(range(n_blocks - 2, -1, -1))
+        self._lane_shared: dict[int, list[int]] = {i: [] for i in range(n_lanes)}
         self._lane_blocks: dict[int, list[int]] = {i: [] for i in range(n_lanes)}
+        self._cached: dict[bytes, int] = {}       # chain hash -> block id
+        self._block_hash: dict[int, bytes] = {}   # block id -> chain hash
+        self._ref: dict[int, int] = {}            # block id -> live refcount
+        self._lru: OrderedDict[int, None] = OrderedDict()  # refcount-0 cached
         self.tables = np.full((n_lanes, max_blocks_per_lane), self.trash_block, np.int32)
 
     def free_blocks(self) -> int:
-        return len(self._free)
+        """Blocks allocatable right now (truly free + evictable cached)."""
+        return len(self._free) + len(self._lru)
+
+    def cached_blocks(self) -> int:
+        return len(self._cached)
 
     def lane_len_capacity(self, lane: int, block_size: int) -> int:
-        return len(self._lane_blocks[lane]) * block_size
+        return (len(self._lane_shared[lane]) + len(self._lane_blocks[lane])) * block_size
 
     def can_allocate(self, n: int) -> bool:
-        return len(self._free) >= n
+        return self.free_blocks() >= n
+
+    def _pop_free(self) -> int | None:
+        if self._free:
+            return self._free.pop()
+        if self._lru:  # evict the coldest cached block
+            blk, _ = self._lru.popitem(last=False)
+            h = self._block_hash.pop(blk)
+            del self._cached[h]
+            self._ref.pop(blk, None)
+            return blk
+        return None
+
+    def acquire_prefix(self, lane: int, hashes: list[bytes], max_blocks: int) -> int:
+        """Map the longest cached chain into this lane's table (read-only,
+        refcounted). Returns the number of shared blocks mapped. Must be called
+        before any ensure() for the lane (shared blocks lead the table)."""
+        assert not self._lane_shared[lane] and not self._lane_blocks[lane]
+        n = 0
+        for h in hashes[:max_blocks]:
+            blk = self._cached.get(h)
+            if blk is None:
+                break
+            self._ref[blk] = self._ref.get(blk, 0) + 1
+            self._lru.pop(blk, None)
+            self._lane_shared[lane].append(blk)
+            self.tables[lane, n] = blk
+            n += 1
+        return n
 
     def ensure(self, lane: int, n_positions: int, block_size: int) -> bool:
         """Grow lane's table to cover n_positions; False if pool exhausted."""
         need = -(-n_positions // block_size)
-        have = len(self._lane_blocks[lane])
+        shared = len(self._lane_shared[lane])
+        have = shared + len(self._lane_blocks[lane])
         if need > self.max_blocks_per_lane:
             return False
         while have < need:
-            if not self._free:
+            blk = self._pop_free()
+            if blk is None:
                 return False
-            blk = self._free.pop()
             self._lane_blocks[lane].append(blk)
             self.tables[lane, have] = blk
             have += 1
         return True
 
-    def release(self, lane: int) -> None:
-        blocks = self._lane_blocks[lane]
-        self._free.extend(reversed(blocks))
+    def release(self, lane: int, hashes: list[bytes] | None = None) -> None:
+        """Free the lane. `hashes` (chain digests of the lane's VERIFIED token
+        history) registers the lane's private full blocks into the prefix
+        cache; without it (or for blocks past the verified history / already
+        cached under the same hash) blocks return to the free list."""
+        shared = self._lane_shared[lane]
+        for blk in shared:
+            self._ref[blk] -= 1
+            if self._ref[blk] == 0:
+                del self._ref[blk]
+                self._lru[blk] = None  # stays cached, now evictable
+        n_shared = len(shared)
+        for j, blk in enumerate(self._lane_blocks[lane]):
+            idx = n_shared + j
+            h = hashes[idx] if hashes is not None and idx < len(hashes) else None
+            if h is not None and h not in self._cached:
+                self._cached[h] = blk
+                self._block_hash[blk] = h
+                self._lru[blk] = None
+            else:
+                self._free.append(blk)
+        self._lane_shared[lane] = []
         self._lane_blocks[lane] = []
         self.tables[lane, :] = self.trash_block

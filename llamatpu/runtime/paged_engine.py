@@ -4,7 +4,15 @@ Same lane semantics as BatchEngine (per-lane positions/sampling/stop), but KV
 lives in a PagedKVCache: the host BlockAllocator grows each lane's block table
 on demand (prefill chunks, decode windows) and recycles blocks when a lane
 finishes — so memory is bounded by tokens in flight, not lanes x max context.
-Drop-in engine for the ContinuousBatcher (it calls release_lane/can_admit).
+Drop-in engine for the ContinuousBatcher (it calls admit_lane/release_lane/
+can_admit).
+
+With prefix_cache=True (default) the engine also does block-level prefix
+caching (paged_cache.py docstring): admit_lane maps cached full blocks of the
+prompt into the lane's table and prefills only the novel suffix; release_lane
+registers the lane's verified full blocks (prompt + confirmed generated
+tokens) for future reuse. Exact for any sampling mode — cached blocks hold
+the same KV values a fresh prefill would write (prefill is deterministic).
 """
 from __future__ import annotations
 
@@ -33,6 +41,7 @@ class PagedBatchEngine:
         seed: int = 42,
         decode_window: int = 16,
         metrics: RunMetrics | None = None,
+        prefix_cache: bool = True,
     ):
         self.model = model
         self.cfg = model.cfg
@@ -49,6 +58,7 @@ class PagedBatchEngine:
         self.impl = impl
         self.decode_window = max(1, int(decode_window))
         self.metrics = metrics or RunMetrics()
+        self.prefix_cache = prefix_cache
         self._rng = jax.random.PRNGKey(seed)
         self.alloc = BlockAllocator(self.n_blocks, batch_size, self.max_blocks_per_lane)
 
@@ -106,8 +116,33 @@ class PagedBatchEngine:
         need = -(-(prompt_len + self.decode_window + 1) // self.block_size)
         return self.alloc.can_allocate(need)
 
-    def release_lane(self, lane: int) -> None:
-        self.alloc.release(lane)
+    def admit_lane(self, lane: int, tokens: list[int], temperature: float = 0.0,
+                   top_p: float = 0.0) -> tuple[int, int]:
+        """Prefix-cache-aware lane admission: map cached full blocks of the
+        prompt into the lane table, prefill the novel suffix. Returns
+        (first sampled token, prompt tokens served from the cache)."""
+        from llamatpu.runtime.paged_cache import block_hashes
+
+        reuse = 0
+        if self.prefix_cache:
+            hashes = block_hashes(tokens, self.block_size)
+            # the final prompt token must run through prefill (its logits
+            # produce the first sampled token), so cap reuse at len-1
+            max_blocks = (len(tokens) - 1) // self.block_size
+            reuse = self.alloc.acquire_prefix(lane, hashes, max_blocks) * self.block_size
+        first = self.prefill_lane(lane, tokens[reuse:], reuse, temperature, top_p)
+        return first, reuse
+
+    def release_lane(self, lane: int, fed_tokens: list[int] | None = None) -> None:
+        """Recycle the lane's blocks. fed_tokens = the lane's verified token
+        history (every token whose KV provably landed in the cache); with the
+        prefix cache on, its full blocks are registered for reuse."""
+        hashes = None
+        if self.prefix_cache and fed_tokens:
+            from llamatpu.runtime.paged_cache import block_hashes
+
+            hashes = block_hashes(fed_tokens, self.block_size)
+        self.alloc.release(lane, hashes)
 
     # -- engine surface (mirrors BatchEngine) ------------------------------
     def prefill_lane(self, lane: int, tokens: list[int], start_pos: int = 0,
@@ -171,7 +206,8 @@ class PagedBatchEngine:
                                           stop_tokens, temps, topps)
 
     def reset(self) -> None:
-        for lane in range(self.batch_size):
-            self.alloc.release(lane)
+        # fresh allocator: drops lane tables AND the prefix cache (pool zeroed)
+        self.alloc = BlockAllocator(self.n_blocks, self.batch_size,
+                                    self.max_blocks_per_lane)
         self.cache = init_paged_cache(self.cfg, self.n_blocks, self.block_size,
                                       self.cache.k_pool.dtype)

@@ -47,6 +47,7 @@ class TokenStream:
         self._q: queue.Queue = queue.Queue()
         self.finish_reason: str | None = None
         self.cancelled = False
+        self.cached_tokens = 0  # prompt tokens served from the KV prefix cache
 
     def push(self, token_id: int) -> None:
         self._q.put(token_id)
@@ -74,6 +75,12 @@ class TokenStream:
 class _Lane:
     req: BatchRequest | None = None
     produced: int = 0
+    # verified KV history: every token whose KV provably landed in the cache
+    # (prompt, then each token actually fed back to the device). The last
+    # sampled token is NOT in `fed` until the next window feeds it — it sits
+    # in `next_tok`. Drives paged prefix-cache block registration at release.
+    fed: list = field(default_factory=list)
+    next_tok: int = -1
 
 
 class ContinuousBatcher:
@@ -134,11 +141,19 @@ class ContinuousBatcher:
                 # paged pool backpressure: hold until blocks free up
                 self._backlog.append(req)
                 return
-            first = self.engine.prefill_lane(lane, req.prompt_tokens, 0,
-                                             req.temperature, req.top_p)
+            admit = getattr(self.engine, "admit_lane", None)
+            if admit is not None:  # paged engine: prefix-cache-aware admission
+                first, reuse = admit(lane, req.prompt_tokens,
+                                     req.temperature, req.top_p)
+                req.stream.cached_tokens = reuse
+            else:
+                first = self.engine.prefill_lane(lane, req.prompt_tokens, 0,
+                                                 req.temperature, req.top_p)
             l = self._lanes[lane]
             l.req = req
             l.produced = 1
+            l.fed = list(req.prompt_tokens)
+            l.next_tok = first
             self._tokens[lane] = first
             self._pos[lane] = len(req.prompt_tokens)
             self._temps[lane] = req.temperature
@@ -153,12 +168,20 @@ class ContinuousBatcher:
         l = self._lanes[lane]
         if l.req is not None:
             l.req.stream.finish(reason)
+        fed = l.fed
         l.req = None
         l.produced = 0
+        l.fed = []
+        l.next_tok = -1
         self._active[lane] = False
         release = getattr(self.engine, "release_lane", None)
         if release is not None:
-            release(lane)  # paged pool: recycle the lane's blocks
+            # paged pool: recycle the lane's blocks; the verified history
+            # registers its full blocks into the prefix cache
+            try:
+                release(lane, fed_tokens=fed)
+            except TypeError:  # engine without prefix-cache support
+                release(lane)
 
     def _loop(self) -> None:
         while not self._shutdown:
@@ -198,6 +221,11 @@ class ContinuousBatcher:
                 continue
             col = slab[:, b]
             emitted = [int(t) for t in col[col >= 0]]
+            if emitted:
+                # the window fed next_tok (KV written), then every emitted
+                # token except the last (its KV write is not yet confirmed)
+                l.fed.extend([l.next_tok] + emitted[:-1])
+                l.next_tok = emitted[-1]
             stopped = False
             for t in emitted:
                 l.req.stream.push(t)

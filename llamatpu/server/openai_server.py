@@ -252,7 +252,8 @@ def serve(args) -> None:
                 model, batch_size=args.batch_size, impl=args.impl,
                 prefill_chunk=args.prefill_chunk, max_len=cache_len,
                 n_blocks=getattr(args, "kv_blocks", 0) or None,
-                block_size=getattr(args, "kv_block_size", 16))
+                block_size=getattr(args, "kv_block_size", 16),
+                prefix_cache=not getattr(args, "no_prefix_cache", False))
         else:
             from llamatpu.runtime.batch_engine import BatchEngine
 

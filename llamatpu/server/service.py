@@ -261,4 +261,5 @@ class BatchedInferenceService:
             elif tail:
                 emit(tail)
         finish = "stop" if hit else (stream.finish_reason or "length")
-        return Result("".join(pieces), len(tokens), n, finish)
+        return Result("".join(pieces), len(tokens), n, finish,
+                      cached_tokens=stream.cached_tokens)
