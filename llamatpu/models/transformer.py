@@ -225,7 +225,7 @@ def forward_tokens(cfg: ModelConfig, weights, tokens, cache, pos, impl="xla",
 
     kv, g = cfg.n_kv_heads, cfg.gqa_groups
 
-    quantized = (not paged) and cache.quantized
+    quantized = cache.quantized
 
     def layer_fn(x, per_layer):
         if quantized:
@@ -233,6 +233,7 @@ def forward_tokens(cfg: ModelConfig, weights, tokens, cache, pos, impl="xla",
         else:
             lw, kc, vc = per_layer
             ksc = vsc = None
+        ks_view = vs_view = None  # dense [B, KV, 1, S] scale views (int8 mode)
         h = rmsnorm(x, lw["attn_norm"], cfg.rms_norm_eps)
         q = matmul(lw["wq"], h, impl)
         k = matmul(lw["wk"], h, impl)
@@ -252,8 +253,23 @@ def forward_tokens(cfg: ModelConfig, weights, tokens, cache, pos, impl="xla",
 
         if paged:
             bs = cache.block_size
-            kc = paged_write(kc, k.astype(kc.dtype), tables, pos_vec, bs)
-            vc = paged_write(vc, v.astype(vc.dtype), tables, pos_vec, bs)
+            if quantized:
+                from llamatpu.ops.kv_quant import quantize_kv
+
+                from llamatpu.runtime.paged_cache import (paged_gather_scale,
+                                                          paged_write_scale)
+
+                kq, ks_new = quantize_kv(k)  # int8 [B,T,KV,hd], f32 [B,T,KV]
+                vq, vs_new = quantize_kv(v)
+                kc = paged_write(kc, kq, tables, pos_vec, bs)
+                vc = paged_write(vc, vq, tables, pos_vec, bs)
+                ksc = paged_write_scale(ksc, ks_new, tables, pos_vec, bs)
+                vsc = paged_write_scale(vsc, vs_new, tables, pos_vec, bs)
+                ks_view = paged_gather_scale(ksc, tables)
+                vs_view = paged_gather_scale(vsc, tables)
+            else:
+                kc = paged_write(kc, k.astype(kc.dtype), tables, pos_vec, bs)
+                vc = paged_write(vc, v.astype(vc.dtype), tables, pos_vec, bs)
             kd = paged_gather(kc, tables)
             vd = paged_gather(vc, tables)
         elif quantized:
@@ -269,6 +285,7 @@ def forward_tokens(cfg: ModelConfig, weights, tokens, cache, pos, impl="xla",
             ksc = upds(ksc, ks_new.transpose(0, 2, 1)[:, :, None, :], pos_vec)
             vsc = upds(vsc, vs_new.transpose(0, 2, 1)[:, :, None, :], pos_vec)
             kd, vd = kc, vc
+            ks_view, vs_view = ksc, vsc
         else:
             # write [B, T, KV, hd] -> head-major cache [B, KV, S, hd] at per-seq pos
             upd = jax.vmap(lambda c, new, p: jax.lax.dynamic_update_slice(c, new, (0, p, 0)))
@@ -281,15 +298,15 @@ def forward_tokens(cfg: ModelConfig, weights, tokens, cache, pos, impl="xla",
 
             attn = decode_attention_auto(
                 q.reshape(b, kv, g, cfg.head_dim), kd, vd, pos_vec,
-                cfg.attn_score_scale, k_scale=ksc, v_scale=vsc,
+                cfg.attn_score_scale, k_scale=ks_view, v_scale=vs_view,
                 s_limit=s_limit,
             ).reshape(b, t, kv, g, cfg.v_head_dim)
         else:
             if quantized:
                 from llamatpu.ops.kv_quant import dequantize_kv
 
-                kd = dequantize_kv(kd, ksc)
-                vd = dequantize_kv(vd, vsc)
+                kd = dequantize_kv(kd, ks_view)
+                vd = dequantize_kv(vd, vs_view)
             if s_limit and s_limit < kd.shape[2]:
                 # static slice: XLA folds the offset/limit into the dot; the
                 # rows past the logical length are write-slack, never attended
@@ -311,11 +328,17 @@ def forward_tokens(cfg: ModelConfig, weights, tokens, cache, pos, impl="xla",
         return x, ((kc, vc, ksc, vsc) if quantized else (kc, vc))
 
     if paged:
-        x, (k_new, v_new) = jax.lax.scan(layer_fn, x,
-                                         (weights["layers"], cache.k_pool, cache.v_pool))
         from llamatpu.runtime.paged_cache import PagedKVCache as _P
 
-        new_cache = _P(k_new, v_new, cache.block_size)
+        if quantized:
+            x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
+                layer_fn, x, (weights["layers"], cache.k_pool, cache.v_pool,
+                              cache.k_scale, cache.v_scale))
+            new_cache = _P(k_new, v_new, cache.block_size, ks_new, vs_new)
+        else:
+            x, (k_new, v_new) = jax.lax.scan(
+                layer_fn, x, (weights["layers"], cache.k_pool, cache.v_pool))
+            new_cache = _P(k_new, v_new, cache.block_size)
     elif quantized:
         x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
             layer_fn, x, (weights["layers"], cache.k, cache.v,

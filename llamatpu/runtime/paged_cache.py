@@ -54,28 +54,41 @@ def block_hashes(tokens, block_size: int) -> list[bytes]:
     return out
 
 
-@partial(jax.tree_util.register_dataclass, data_fields=["k_pool", "v_pool"],
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["k_pool", "v_pool", "k_scale", "v_scale"],
          meta_fields=["block_size"])
 @dataclass
 class PagedKVCache:
     k_pool: jax.Array  # [L, NBLK, KV, BS, hd]
     v_pool: jax.Array  # [L, NBLK, KV, BS, vhd]
     block_size: int
+    # int8 mode (ops/kv_quant.py): one f32 scale per (position, kv head),
+    # stored [L, NBLK, KV, 1, BS] (BS on lanes, like the dense [.., 1, S] rows)
+    k_scale: jax.Array | None = None
+    v_scale: jax.Array | None = None
 
     @property
     def n_blocks(self) -> int:
         return self.k_pool.shape[1]
 
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
 
 def init_paged_cache(cfg: ModelConfig, n_blocks: int, block_size: int = 16,
                      dtype=jnp.bfloat16) -> PagedKVCache:
-    return PagedKVCache(
-        k_pool=jnp.zeros((cfg.n_layers, n_blocks, cfg.n_kv_heads, block_size,
-                          cfg.head_dim), dtype),
-        v_pool=jnp.zeros((cfg.n_layers, n_blocks, cfg.n_kv_heads, block_size,
-                          cfg.v_head_dim), dtype),
-        block_size=block_size,
-    )
+    k = jnp.zeros((cfg.n_layers, n_blocks, cfg.n_kv_heads, block_size,
+                   cfg.head_dim), dtype)
+    v = jnp.zeros((cfg.n_layers, n_blocks, cfg.n_kv_heads, block_size,
+                   cfg.v_head_dim), dtype)
+    if dtype == jnp.int8:
+        # two distinct zero buffers: the engine donates the cache pytree and
+        # XLA rejects donating one buffer twice
+        sshape = (cfg.n_layers, n_blocks, cfg.n_kv_heads, 1, block_size)
+        return PagedKVCache(k, v, block_size, jnp.zeros(sshape, jnp.float32),
+                            jnp.zeros(sshape, jnp.float32))
+    return PagedKVCache(k, v, block_size)
 
 
 def paged_write(pool, new, tables, pos_vec, block_size):
@@ -95,6 +108,25 @@ def paged_gather(pool, tables):
     g = pool[tables]                      # [B, MAXBLK, KV, BS, hd]
     b, mb, kv, bs, hd = g.shape
     return g.transpose(0, 2, 1, 3, 4).reshape(b, kv, mb * bs, hd)
+
+
+def paged_write_scale(spool, snew, tables, pos_vec, block_size):
+    """Scatter per-(position, head) scales. spool: [NBLK, KV, 1, BS] (one
+    layer); snew: [B, T, KV]; tables: [B, MAXBLK]; pos_vec: [B]."""
+    b, t, kv = snew.shape
+    positions = pos_vec[:, None] + jnp.arange(t)[None, :]
+    blks = jnp.take_along_axis(tables, positions // block_size, axis=1)
+    offs = positions % block_size
+    return spool.at[blks.reshape(-1), :, 0, offs.reshape(-1)].set(
+        snew.reshape(b * t, kv))
+
+
+def paged_gather_scale(spool, tables):
+    """Dense scale-row lane view matching paged_gather: spool [NBLK, KV, 1, BS]
+    + tables [B, MAXBLK] -> [B, KV, 1, MAXBLK*BS]."""
+    g = spool[tables]                     # [B, MAXBLK, KV, 1, BS]
+    b, mb, kv, one, bs = g.shape
+    return g.transpose(0, 2, 3, 1, 4).reshape(b, kv, 1, mb * bs)
 
 
 class BlockAllocator:

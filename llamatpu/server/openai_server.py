@@ -253,6 +253,7 @@ def serve(args) -> None:
                 prefill_chunk=args.prefill_chunk, max_len=cache_len,
                 n_blocks=getattr(args, "kv_blocks", 0) or None,
                 block_size=getattr(args, "kv_block_size", 16),
+                cache_dtype=_cache_dtype(args),
                 prefix_cache=not getattr(args, "no_prefix_cache", False))
         else:
             from llamatpu.runtime.batch_engine import BatchEngine

@@ -59,3 +59,34 @@ def test_blocks_recycled_and_backpressure(model):
     assert out1 == refs[0]
     assert out2 == refs[1]
     assert e.alloc.free_blocks() == 6  # everything recycled (7 - trash)
+
+
+def test_paged_int8_kv_matches_dense_int8(model):
+    """int8 KV in the paged pool (per-position scales ride their own pools,
+    gathered alongside the blocks) must generate the same ids as the dense
+    int8 cache."""
+    prompts = [[5, 9, 23, 41, 8], [2, 30, 7]]
+    dense = BatchEngine(model, batch_size=2, cache_dtype=jnp.int8,
+                        decode_window=4).generate_batch(prompts, 6)
+    paged = PagedBatchEngine(model, batch_size=2, block_size=4,
+                             cache_dtype=jnp.int8, decode_window=4,
+                             prefill_chunk=4)
+    assert paged.generate_batch(prompts, 6) == dense
+
+
+def test_paged_int8_prefix_cache_warm_matches_cold(model):
+    """Prefix caching composes with int8 paged KV: cached blocks carry their
+    scale rows, warm output == cold output."""
+    from llamatpu.runtime.scheduler import ContinuousBatcher
+
+    prompt = [3, 7, 11, 15, 19, 23, 2, 5, 6]
+    e = PagedBatchEngine(model, batch_size=2, block_size=4, cache_dtype=jnp.int8,
+                         decode_window=4, prefill_chunk=4)
+    b = ContinuousBatcher(e, stop_tokens=set())
+    s1 = b.submit(BatchRequest(list(prompt), 6))
+    cold = list(s1)
+    s2 = b.submit(BatchRequest(list(prompt), 6))
+    warm = list(s2)
+    b.shutdown()
+    assert warm == cold
+    assert s1.cached_tokens == 0 and s2.cached_tokens == 8
