@@ -38,6 +38,12 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--dp", type=int, default=1, help="data-parallel degree")
         sp.add_argument("--ep", action="store_true",
                         help="expert-parallel MoE: whole experts sharded over tp")
+        sp.add_argument("--sp", type=int, default=1,
+                        help="sequence-parallel degree (KV S-axis sharded; "
+                             "attention reductions all-reduce over the axis)")
+        sp.add_argument("--pp", type=int, default=1,
+                        help="pipeline-parallel degree (layer stages, "
+                             "shard_map microbatch pipeline; composes with dp)")
         sp.add_argument("--profile-dir", default=None,
                         help="capture a jax.profiler trace into this directory")
         sp.add_argument("--dump-hlo", default=None,
@@ -111,15 +117,18 @@ def _load(args, max_tokens=None):
 
 
 def _mesh(args):
-    """Build a (dp, tp) mesh when parallelism is requested (multi-host init
-    happens automatically via env — parallel/distributed.py)."""
-    if getattr(args, "tp", 0) <= 1 and getattr(args, "dp", 1) <= 1:
+    """Build a (dp, pp, sp, tp) mesh when parallelism is requested (multi-host
+    init happens automatically via env — parallel/distributed.py)."""
+    if (getattr(args, "tp", 0) <= 1 and getattr(args, "dp", 1) <= 1
+            and getattr(args, "sp", 1) <= 1 and getattr(args, "pp", 1) <= 1):
         return None
     from llamatpu.parallel import make_mesh
     from llamatpu.parallel.distributed import initialize
 
     initialize()
-    return make_mesh(tp=max(args.tp, 1), dp=max(args.dp, 1))
+    return make_mesh(tp=max(args.tp, 1), dp=max(args.dp, 1),
+                     sp=max(getattr(args, "sp", 1), 1),
+                     pp=max(getattr(args, "pp", 1), 1))
 
 
 def _cache_dtype(args):

@@ -197,35 +197,47 @@ def _moe_shared(cfg: ModelConfig, h, hf, routed, lw, impl):
     return out.astype(h.dtype).reshape(b, t, d)
 
 
-def forward_tokens(cfg: ModelConfig, weights, tokens, cache, pos, impl="xla",
-                   last_logit_only=False, logit_index=None, tables=None,
-                   ep_mesh=None, s_limit: int | None = None):
-    """Run T tokens at absolute positions pos..pos+T-1 through the full model.
-
-    tokens: int32 [B, T]; pos: scalar int32 OR per-sequence vector [B] (the
-    continuous-batching path decodes sequences sitting at different positions);
-    cache: KVCache, or PagedKVCache with `tables` [B, MAXBLK] block tables;
-    returns (logits f32, new cache).
-    logits: [B, T, vocab], or [B, vocab] when last_logit_only (static index -1)
-    or logit_index (traced scalar — used by chunked prefill to pick the last
-    REAL token's logits inside a padded final chunk).
-    """
-    from llamatpu.runtime.paged_cache import PagedKVCache, paged_gather, paged_write
-
-    paged = isinstance(cache, PagedKVCache)
-    b, t = tokens.shape
-    pos_vec = jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(pos)), (b,))
+def embed_tokens(cfg: ModelConfig, weights, tokens):
+    """Token embedding lookup (+ Granite µP embedding scale)."""
     x = weights["tok_emb"][tokens]  # [B, T, D]
     if cfg.embedding_scale != 1.0:
         x = (x.astype(jnp.float32) * cfg.embedding_scale).astype(x.dtype)
+    return x
 
+
+def rope_slices(weights, pos_vec, t):
+    """Per-(sequence, position) RoPE table rows: [B, T, 1, half] cos/sin."""
     positions = pos_vec[:, None] + jnp.arange(t)[None, :]  # [B, T]
-    cos = weights["rope_cos"][positions][:, :, None, :]  # [B, T, 1, half]
+    cos = weights["rope_cos"][positions][:, :, None, :]
     sin = weights["rope_sin"][positions][:, :, None, :]
+    return cos, sin
 
+
+def finish_logits(cfg: ModelConfig, weights, x, impl="xla",
+                  last_logit_only=False, logit_index=None):
+    """Final norm + vocab projection (+ Granite logit scale); x: [B, T, D]."""
+    if logit_index is not None:
+        x = jax.vmap(lambda xb: jax.lax.dynamic_index_in_dim(xb, logit_index, axis=0, keepdims=False))(x)
+    elif last_logit_only:
+        x = x[:, -1]
+    x = rmsnorm(x, weights["final_norm"], cfg.rms_norm_eps)
+    logits = matmul(weights["wcls"], x, impl).astype(jnp.float32)
+    if cfg.logit_scale != 1.0:
+        logits = logits * cfg.logit_scale
+    return logits
+
+
+def make_layer_fn(cfg: ModelConfig, impl, b, t, pos_vec, cos, sin, *,
+                  quantized=False, paged=False, block_size=None, tables=None,
+                  s_limit: int | None = None, ep_mesh=None):
+    """One transformer layer as a lax.scan step over stacked weights.
+
+    per_layer = (lw, kc, vc) or (lw, kc, vc, ksc, vsc) in int8-KV mode; the
+    cache slices are [B, KV, S, hd] (dense) or pool slices [NBLK, KV, BS, hd]
+    (paged, with `tables`/`block_size`). Factored out of forward_tokens so the
+    pipeline-parallel stage loop (parallel/pipeline.py) scans the same layer
+    math over its local layer shard."""
     kv, g = cfg.n_kv_heads, cfg.gqa_groups
-
-    quantized = cache.quantized
 
     def layer_fn(x, per_layer):
         if quantized:
@@ -252,7 +264,9 @@ def forward_tokens(cfg: ModelConfig, weights, tokens, cache, pos, impl="xla",
         k = apply_rope(k, cos, sin, cfg.rope_style)
 
         if paged:
-            bs = cache.block_size
+            from llamatpu.runtime.paged_cache import paged_gather, paged_write
+
+            bs = block_size
             if quantized:
                 from llamatpu.ops.kv_quant import quantize_kv
 
@@ -327,6 +341,35 @@ def forward_tokens(cfg: ModelConfig, weights, tokens, cache, pos, impl="xla",
         x = x + ffn
         return x, ((kc, vc, ksc, vsc) if quantized else (kc, vc))
 
+    return layer_fn
+
+
+def forward_tokens(cfg: ModelConfig, weights, tokens, cache, pos, impl="xla",
+                   last_logit_only=False, logit_index=None, tables=None,
+                   ep_mesh=None, s_limit: int | None = None):
+    """Run T tokens at absolute positions pos..pos+T-1 through the full model.
+
+    tokens: int32 [B, T]; pos: scalar int32 OR per-sequence vector [B] (the
+    continuous-batching path decodes sequences sitting at different positions);
+    cache: KVCache, or PagedKVCache with `tables` [B, MAXBLK] block tables;
+    returns (logits f32, new cache).
+    logits: [B, T, vocab], or [B, vocab] when last_logit_only (static index -1)
+    or logit_index (traced scalar — used by chunked prefill to pick the last
+    REAL token's logits inside a padded final chunk).
+    """
+    from llamatpu.runtime.paged_cache import PagedKVCache
+
+    paged = isinstance(cache, PagedKVCache)
+    b, t = tokens.shape
+    pos_vec = jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(pos)), (b,))
+    x = embed_tokens(cfg, weights, tokens)
+    cos, sin = rope_slices(weights, pos_vec, t)
+    quantized = cache.quantized
+    layer_fn = make_layer_fn(cfg, impl, b, t, pos_vec, cos, sin,
+                             quantized=quantized, paged=paged,
+                             block_size=cache.block_size if paged else None,
+                             tables=tables, s_limit=s_limit, ep_mesh=ep_mesh)
+
     if paged:
         from llamatpu.runtime.paged_cache import PagedKVCache as _P
 
@@ -348,12 +391,5 @@ def forward_tokens(cfg: ModelConfig, weights, tokens, cache, pos, impl="xla",
         x, (k_new, v_new) = jax.lax.scan(layer_fn, x, (weights["layers"], cache.k, cache.v))
         new_cache = KVCache(k_new, v_new)
 
-    if logit_index is not None:
-        x = jax.vmap(lambda xb: jax.lax.dynamic_index_in_dim(xb, logit_index, axis=0, keepdims=False))(x)
-    elif last_logit_only:
-        x = x[:, -1]
-    x = rmsnorm(x, weights["final_norm"], cfg.rms_norm_eps)
-    logits = matmul(weights["wcls"], x, impl).astype(jnp.float32)
-    if cfg.logit_scale != 1.0:
-        logits = logits * cfg.logit_scale
+    logits = finish_logits(cfg, weights, x, impl, last_logit_only, logit_index)
     return logits, new_cache

@@ -45,12 +45,36 @@ def _spec_for(name: str, ndim_extra: int = 0, ep: bool = False) -> P:
 
 def weight_shardings(cfg: ModelConfig, mesh: Mesh, weights: dict,
                      ep: bool = False) -> dict:
-    """Pytree of NamedShardings matching the weights dict structure."""
+    """Pytree of NamedShardings matching the weights dict structure.
+
+    With a pp axis > 1 every stacked layer tensor shards its leading L axis
+    over "pp" instead (stage-local weights for parallel/pipeline.py; pp
+    composes with dp only, so tp specs don't apply)."""
 
     def ns(spec):
         return NamedSharding(mesh, spec)
 
     tp = mesh.shape.get("tp", 1)
+    pp = mesh.shape.get("pp", 1)
+    if pp > 1:
+        assert cfg.n_layers % pp == 0, (cfg.n_layers, pp)
+
+        def pp_leaf(leaf):
+            if isinstance(leaf, QTensor):
+                s = ns(P("pp"))
+                return QTensor(s, s, leaf.kind, leaf.logical_out, leaf.layout)
+            return ns(P("pp"))
+
+        layers = {name: pp_leaf(leaf) for name, leaf in weights["layers"].items()}
+        wcls = weights["wcls"]
+        rep = ns(P())
+        return {
+            "tok_emb": rep, "final_norm": rep,
+            "wcls": (QTensor(rep, rep, wcls.kind, wcls.logical_out, wcls.layout)
+                     if isinstance(wcls, QTensor) else rep),
+            "rope_cos": rep, "rope_sin": rep,
+            "layers": layers,
+        }
 
     def layer_spec(name, leaf):
         extra = 1 if name.endswith("_exps") else 0
@@ -88,17 +112,24 @@ def weight_shardings(cfg: ModelConfig, mesh: Mesh, weights: dict,
 
 
 def cache_shardings(cfg: ModelConfig, mesh: Mesh, cache=None):
-    """KVCache sharding: [L, B, n_kv, S, hd] -> batch on dp, kv heads on tp.
-    Scale rows of an int8 cache ([L, B, n_kv, 1, S]) shard identically. Pass
-    the cache to get a matching pytree (handles the optional scale fields)."""
-    import jax
-
+    """KVCache sharding: [L, B, n_kv, S, hd] -> batch on dp, kv heads on tp,
+    sequence positions on sp (sequence-parallel attention: the softmax max/sum
+    and the att·V contraction over the sharded S axis become GSPMD all-reduces
+    over "sp" — the TPU-native splitKV-across-chips, no reference counterpart).
+    Scale rows of an int8 cache ([L, B, n_kv, 1, S]) put S on their lane axis.
+    Pass the cache to pick up the optional scale fields and the S-divisibility
+    guard (an S not divisible by sp stays unsharded)."""
     from llamatpu.models.transformer import KVCache
 
-    spec = NamedSharding(mesh, P(None, "dp", "tp", None, None))
-    if cache is not None:
-        return jax.tree.map(lambda _: spec, cache)
-    return KVCache(spec, spec)
+    sp = "sp" if mesh.shape.get("sp", 1) > 1 else None
+    if cache is not None and sp and cache.k.shape[3] % mesh.shape["sp"]:
+        sp = None  # uneven split: keep S replicated
+    pp = "pp" if mesh.shape.get("pp", 1) > 1 else None  # L axis -> stages
+    kv_s = NamedSharding(mesh, P(pp, "dp", "tp", sp, None))
+    if cache is not None and getattr(cache, "quantized", False):
+        sc_s = NamedSharding(mesh, P(pp, "dp", "tp", None, sp))
+        return KVCache(kv_s, kv_s, sc_s, sc_s)
+    return KVCache(kv_s, kv_s)
 
 
 def shard_model(weights: dict, cfg: ModelConfig, mesh: Mesh, ep: bool = False) -> dict:

@@ -81,6 +81,9 @@ class Engine:
         self._progs: dict[bool, tuple] = {}
         self.mesh = mesh  # jax.sharding.Mesh for tensor/data parallelism
         self.ep = bool(ep and mesh is not None)  # expert-parallel MoE placement
+        self.pp = bool(mesh is not None and mesh.shape.get("pp", 1) > 1)
+        if self.pp:
+            assert not self.ep, "pp + expert parallelism not supported yet"
 
         with Timer() as t:
             if mesh is not None:
@@ -120,15 +123,27 @@ class Engine:
         ep_mesh = self.mesh if self.ep else None
         s_limit = self.cache_len
 
+        if self.pp:
+            from llamatpu.parallel.pipeline import forward_tokens_pp
+
+            def fwd(weights, tokens, cache, pos, **kw):
+                return forward_tokens_pp(cfg, weights, tokens, cache, pos,
+                                         self.mesh, impl=impl,
+                                         s_limit=s_limit, **kw)
+        else:
+            def fwd(weights, tokens, cache, pos, **kw):
+                return forward_tokens(cfg, weights, tokens, cache, pos,
+                                      impl=impl, ep_mesh=ep_mesh,
+                                      s_limit=s_limit, **kw)
+
         def sample_fn(logits, sub, temp, topp):
             if greedy:
                 return sampling.greedy(logits)
             return sampling.sample_dynamic(logits, sub, temp, topp)
 
         def prefill_fn(weights, tokens, cache, pos, logit_idx, rng, temp, topp):
-            logits, cache = forward_tokens(cfg, weights, tokens, cache, pos,
-                                           impl=impl, logit_index=logit_idx,
-                                           ep_mesh=ep_mesh, s_limit=s_limit)
+            logits, cache = fwd(weights, tokens, cache, pos,
+                                logit_index=logit_idx)
             rng, sub = jax.random.split(rng)
             next_tok = sample_fn(logits, sub, temp, topp)
             return next_tok, logits, cache, rng
@@ -143,9 +158,8 @@ class Engine:
 
             def body(c):
                 i, tok, cache_, pos, rng_, out_, done = c
-                logits, cache_ = forward_tokens(cfg, weights, tok[:, None], cache_,
-                                                pos, impl=impl, last_logit_only=True,
-                                                ep_mesh=ep_mesh, s_limit=s_limit)
+                logits, cache_ = fwd(weights, tok[:, None], cache_, pos,
+                                     last_logit_only=True)
                 rng_, sub = jax.random.split(rng_)
                 nxt = sample_fn(logits, sub, temp, topp)
                 out_ = out_.at[i].set(nxt)
