@@ -263,6 +263,7 @@ def make_layer_fn(cfg: ModelConfig, impl, b, t, pos_vec, cos, sin, *,
         q = apply_rope(q, cos, sin, cfg.rope_style)
         k = apply_rope(k, cos, sin, cfg.rope_style)
 
+        paged_kernel = paged and impl == "pallas" and t == 1
         if paged:
             from llamatpu.runtime.paged_cache import paged_gather, paged_write
 
@@ -279,13 +280,17 @@ def make_layer_fn(cfg: ModelConfig, impl, b, t, pos_vec, cos, sin, *,
                 vc = paged_write(vc, vq, tables, pos_vec, bs)
                 ksc = paged_write_scale(ksc, ks_new, tables, pos_vec, bs)
                 vsc = paged_write_scale(vsc, vs_new, tables, pos_vec, bs)
-                ks_view = paged_gather_scale(ksc, tables)
-                vs_view = paged_gather_scale(vsc, tables)
+                if not paged_kernel:
+                    ks_view = paged_gather_scale(ksc, tables)
+                    vs_view = paged_gather_scale(vsc, tables)
             else:
                 kc = paged_write(kc, k.astype(kc.dtype), tables, pos_vec, bs)
                 vc = paged_write(vc, v.astype(vc.dtype), tables, pos_vec, bs)
-            kd = paged_gather(kc, tables)
-            vd = paged_gather(vc, tables)
+            if paged_kernel:
+                kd = vd = None  # in-kernel block-table DMA, no dense gather
+            else:
+                kd = paged_gather(kc, tables)
+                vd = paged_gather(vc, tables)
         elif quantized:
             from llamatpu.ops.kv_quant import quantize_kv
 
@@ -307,7 +312,15 @@ def make_layer_fn(cfg: ModelConfig, impl, b, t, pos_vec, cos, sin, *,
             vc = upd(vc, v.astype(vc.dtype).transpose(0, 2, 1, 3), pos_vec)
             kd, vd = kc, vc
 
-        if impl == "pallas" and t == 1:
+        if paged_kernel:
+            from llamatpu.ops.pallas_attention import decode_attention_paged
+
+            attn = decode_attention_paged(
+                q.reshape(b, kv, g, cfg.head_dim), kc, vc, tables, pos_vec,
+                cfg.attn_score_scale, k_scale=ksc, v_scale=vsc,
+                interpret=jax.default_backend() != "tpu",
+            ).reshape(b, t, kv, g, cfg.v_head_dim)
+        elif impl == "pallas" and t == 1:
             from llamatpu.ops.pallas_attention import decode_attention_auto
 
             attn = decode_attention_auto(

@@ -35,17 +35,19 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, *, scale):
-    # blocks: q [1, 1, G, hd]; k [1, 1, S, hd]; v [1, 1, S, vhd]; pos [1, 1] SMEM
+def _kernel(pos_pref, q_ref, k_ref, v_ref, o_ref, *, scale):
+    # blocks: q [1, 1, G, hd]; k [1, 1, S, hd]; v [1, 1, S, vhd];
+    # pos_pref: full [B] scalar-prefetch (an SMEM BlockSpec of (1, 1) over
+    # [B, 1] fails Mosaic's block-divisibility rule for B > 1)
+    pos = pos_pref[pl.program_id(0)]
     q = q_ref[0, 0].astype(jnp.float32)          # [G, hd]
     k = k_ref[0, 0].astype(jnp.float32)          # [S, hd]
     v = v_ref[0, 0].astype(jnp.float32)          # [S, vhd]
-    s_len = k.shape[0]
     scores = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale  # [G, S]
     s_idx = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    scores = jnp.where(s_idx <= pos_ref[0, 0], scores, NEG_INF)
+    scores = jnp.where(s_idx <= pos, scores, NEG_INF)
     m = jnp.max(scores, axis=1, keepdims=True)
     e = jnp.exp(scores - m)
     att = e / jnp.sum(e, axis=1, keepdims=True)
@@ -64,24 +66,22 @@ def decode_attention(q, kc, vc, pos_vec, scale: float, interpret: bool = False,
     b, kv, g, hd = q.shape
     s = s_use or kc.shape[2]
     vhd = vc.shape[3]
-    pos2 = pos_vec.reshape(b, 1).astype(jnp.int32)
-    return pl.pallas_call(
-        functools.partial(_kernel, scale=scale),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(b, kv),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda bi, hi: (bi, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, g, hd), lambda bi, hi: (bi, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s, hd), lambda bi, hi: (bi, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s, vhd), lambda bi, hi: (bi, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, g, hd), lambda bi, hi, pp: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, s, hd), lambda bi, hi, pp: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, s, vhd), lambda bi, hi, pp: (bi, hi, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, g, vhd), lambda bi, hi: (bi, hi, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, 1, g, vhd), lambda bi, hi, pp: (bi, hi, 0, 0)),
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, scale=scale),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, kv, g, vhd), jnp.float32),
         interpret=interpret,
-    )(pos2, q, kc, vc)
+    )(pos_vec.astype(jnp.int32), q, kc, vc)
 
 
 def _split_kernel(pos_pref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
@@ -176,10 +176,11 @@ def decode_attention_split(q, kc, vc, pos_vec, scale: float,
     )(pos, q, kc, vc)
 
 
-def _kernel_q(pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref, *, scale):
+def _kernel_q(pos_pref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref, *, scale):
     """Int8-KV variant: per-(token, head) scales fold into the dots as [1, S]
     row multiplies (see ops/kv_quant.py) — no dequantized stripe materialized.
-    Blocks: ks/vs [1, 1, 1, S] f32."""
+    Blocks: ks/vs [1, 1, 1, S] f32; pos_pref: full [B] scalar-prefetch."""
+    pos = pos_pref[pl.program_id(0)]
     q = q_ref[0, 0].astype(jnp.float32)          # [G, hd]
     k = k_ref[0, 0].astype(jnp.float32)          # [S, hd] int8 -> f32
     v = v_ref[0, 0].astype(jnp.float32)          # [S, vhd]
@@ -189,7 +190,7 @@ def _kernel_q(pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref, *, scale):
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale * ks  # [G, S]
     s_idx = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    scores = jnp.where(s_idx <= pos_ref[0, 0], scores, NEG_INF)
+    scores = jnp.where(s_idx <= pos, scores, NEG_INF)
     m = jnp.max(scores, axis=1, keepdims=True)
     e = jnp.exp(scores - m)
     att = e / jnp.sum(e, axis=1, keepdims=True)
@@ -206,28 +207,25 @@ def decode_attention_q(q, kc, vc, k_scale, v_scale, pos_vec, scale: float,
     b, kv, g, hd = q.shape
     s = s_use or kc.shape[2]
     vhd = vc.shape[3]
-    pos2 = pos_vec.reshape(b, 1).astype(jnp.int32)
-    scale_spec = pl.BlockSpec((1, 1, 1, s), lambda bi, hi: (bi, hi, 0, 0),
-                              memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        functools.partial(_kernel_q, scale=scale),
+    scale_spec = pl.BlockSpec((1, 1, 1, s), lambda bi, hi, pp: (bi, hi, 0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(b, kv),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda bi, hi: (bi, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, g, hd), lambda bi, hi: (bi, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s, hd), lambda bi, hi: (bi, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s, vhd), lambda bi, hi: (bi, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, g, hd), lambda bi, hi, pp: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, s, hd), lambda bi, hi, pp: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, s, vhd), lambda bi, hi, pp: (bi, hi, 0, 0)),
             scale_spec,
             scale_spec,
         ],
-        out_specs=pl.BlockSpec((1, 1, g, vhd), lambda bi, hi: (bi, hi, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, 1, g, vhd), lambda bi, hi, pp: (bi, hi, 0, 0)),
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_q, scale=scale),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, kv, g, vhd), jnp.float32),
         interpret=interpret,
-    )(pos2, q, kc, vc, k_scale, v_scale)
+    )(pos_vec.astype(jnp.int32), q, kc, vc, k_scale, v_scale)
 
 
 def _split_kernel_q(pos_pref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
@@ -321,6 +319,80 @@ def decode_attention_split_q(q, kc, vc, k_scale, v_scale, pos_vec, scale: float,
         out_shape=jax.ShapeDtypeStruct((b, kv, g, vhd), jnp.float32),
         interpret=interpret,
     )(pos, q, kc, vc, k_scale, v_scale)
+
+
+def _paged_kernel(tables_pref, pos_pref, *args, scale, s_tile):
+    # identical online-softmax math; the block tables only change WHICH pool
+    # block each grid step's DMA fetched (kv_index below) — the kernel body
+    # sees logical tile ti via program_id and masks by absolute position
+    _split_kernel(pos_pref, *args, scale=scale, s_tile=s_tile)
+
+
+def _paged_kernel_q(tables_pref, pos_pref, *args, scale, s_tile):
+    _split_kernel_q(pos_pref, *args, scale=scale, s_tile=s_tile)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def decode_attention_paged(q, k_pool, v_pool, tables, pos_vec, scale: float,
+                           k_scale=None, v_scale=None, interpret: bool = False):
+    """Block-table DMA paged decode attention: the kernel reads KV straight
+    from the shared block pool — no dense per-lane gather materialized in HBM
+    (runtime/paged_cache.paged_gather copies the lane's whole KV stripe per
+    layer per step; this kernel's HBM traffic is exactly the live blocks).
+
+    q: [B, KV, G, hd]; k_pool/v_pool: [NBLK, KV, BS, hd] (one layer's pool);
+    tables: [B, MAXBLK] int32 block tables; pos_vec: [B]. Int8 pools pass
+    k_scale/v_scale pools [NBLK, KV, 1, BS]. Returns [B, KV, G, vhd] f32.
+
+    Grid (B, KV, MAXBLK): the pool-block index map routes grid step (b, h, j)
+    to physical block tables[b, min(j, pos_b//BS)] via scalar prefetch — tiles
+    past the current length revisit the previous block so Pallas skips their
+    DMA (reads scale with the ACTUAL sequence length), and their compute is
+    skipped with pl.when. The reference's paged analog doesn't exist (its KV
+    is a flat preallocated array, State.java:44-45); vLLM's paged_attention
+    kernel is the conceptual ancestor."""
+    b, kv, g, hd = q.shape
+    nblk, _, bs, _ = k_pool.shape
+    vhd = v_pool.shape[3]
+    maxblk = tables.shape[1]
+    assert bs & (bs - 1) == 0, bs  # clamp uses a shift, not a divide
+    shift = bs.bit_length() - 1
+    quantized = k_scale is not None
+
+    def kv_index(bi, hi, ti, tables_pref, pos_pref):
+        lj = jnp.minimum(ti, pos_pref[bi] >> shift)
+        return (tables_pref[bi, lj], hi, 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, g, hd), lambda bi, hi, ti, tp, pp: (bi, hi, 0, 0)),
+        pl.BlockSpec((1, 1, bs, hd), kv_index),
+        pl.BlockSpec((1, 1, bs, vhd), kv_index),
+    ]
+    args = [q, k_pool, v_pool]
+    kernel = _paged_kernel
+    if quantized:
+        in_specs += [pl.BlockSpec((1, 1, 1, bs), kv_index)] * 2
+        args += [k_scale, v_scale]
+        kernel = _paged_kernel_q
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, kv, maxblk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, g, vhd),
+                               lambda bi, hi, ti, tp, pp: (bi, hi, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((g, 128), jnp.float32),
+            pltpu.VMEM((g, 128), jnp.float32),
+            pltpu.VMEM((g, vhd), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(kernel, scale=scale, s_tile=bs),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, kv, g, vhd), jnp.float32),
+        interpret=interpret,
+    )(tables.astype(jnp.int32), pos_vec.astype(jnp.int32), *args)
 
 
 SPLIT_THRESHOLD_BYTES = 16384  # S * itemsize: full-stripe VMEM (K+V, double-

@@ -90,3 +90,25 @@ def test_paged_int8_prefix_cache_warm_matches_cold(model):
     b.shutdown()
     assert warm == cold
     assert s1.cached_tokens == 0 and s2.cached_tokens == 8
+
+
+def test_paged_pallas_decode_matches_dense_pallas(model):
+    """impl=pallas routes decode through the block-table DMA kernel; output
+    must match the dense-cache pallas engine."""
+    prompts = [[5, 9, 23, 41, 8], [2, 30, 7]]
+    dense = BatchEngine(model, batch_size=2, cache_dtype=jnp.float32,
+                        decode_window=4, impl="pallas").generate_batch(prompts, 6)
+    paged = PagedBatchEngine(model, batch_size=2, block_size=16,
+                             cache_dtype=jnp.float32, decode_window=4,
+                             impl="pallas")
+    assert paged.generate_batch(prompts, 6) == dense
+
+
+def test_paged_pallas_int8_decode(model):
+    prompts = [[5, 9, 23, 41, 8]]
+    dense = BatchEngine(model, batch_size=1, cache_dtype=jnp.int8,
+                        decode_window=4, impl="pallas").generate_batch(prompts, 6)
+    paged = PagedBatchEngine(model, batch_size=1, block_size=16,
+                             cache_dtype=jnp.int8, decode_window=4,
+                             impl="pallas")
+    assert paged.generate_batch(prompts, 6) == dense

@@ -86,3 +86,57 @@ def test_engine_pallas_attention_matches_oracle(tmp_path):
                                        jnp.array([[tok]], jnp.int32), cache, pos,
                                        impl="pallas", last_logit_only=True)
         np.testing.assert_allclose(np.asarray(logits[0]), want, rtol=5e-3, atol=5e-3)
+
+
+def test_paged_attention_matches_dense_gather():
+    """Block-table DMA kernel == dense attention over the gathered lane view
+    (f32 and int8), random tables, per-lane positions."""
+    import numpy as np
+    from llamatpu.ops.pallas_attention import decode_attention, decode_attention_paged
+    from llamatpu.runtime.paged_cache import paged_gather
+
+    rng = np.random.default_rng(5)
+    B, KV, G, HD, BS, NBLK, MAXBLK = 2, 2, 4, 32, 16, 12, 4
+    q = jnp.asarray(rng.standard_normal((B, KV, G, HD)), jnp.float32)
+    k_pool = jnp.asarray(rng.standard_normal((NBLK, KV, BS, HD)), jnp.float32)
+    v_pool = jnp.asarray(rng.standard_normal((NBLK, KV, BS, HD)), jnp.float32)
+    # distinct random tables per lane; positions mid-block and at block edge
+    tables = jnp.asarray([[3, 7, 1, 9], [5, 0, 8, 2]], jnp.int32)
+    pos = jnp.asarray([37, 31], jnp.int32)
+
+    got = decode_attention_paged(q, k_pool, v_pool, tables, pos, 0.25,
+                                 interpret=True)
+    kd = paged_gather(k_pool, tables)
+    vd = paged_gather(v_pool, tables)
+    ref = decode_attention(q, kd, vd, pos, 0.25, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_paged_attention_int8_matches_dense_gather():
+    import numpy as np
+    from llamatpu.ops.kv_quant import quantize_kv
+    from llamatpu.ops.pallas_attention import decode_attention_paged, decode_attention_q
+    from llamatpu.runtime.paged_cache import paged_gather, paged_gather_scale
+
+    rng = np.random.default_rng(6)
+    B, KV, G, HD, BS, NBLK = 2, 2, 2, 32, 16, 10
+    q = jnp.asarray(rng.standard_normal((B, KV, G, HD)), jnp.float32)
+    kf = rng.standard_normal((NBLK, KV, BS, HD)).astype(np.float32)
+    vf = rng.standard_normal((NBLK, KV, BS, HD)).astype(np.float32)
+    kq, ks = quantize_kv(jnp.asarray(kf).transpose(0, 2, 1, 3))  # per (pos, head)
+    vq, vs = quantize_kv(jnp.asarray(vf).transpose(0, 2, 1, 3))
+    k_pool = kq.transpose(0, 2, 1, 3)
+    v_pool = vq.transpose(0, 2, 1, 3)
+    ks_pool = ks.transpose(0, 2, 1)[:, :, None, :]  # [NBLK, KV, 1, BS]
+    vs_pool = vs.transpose(0, 2, 1)[:, :, None, :]
+    tables = jnp.asarray([[4, 1, 6], [2, 9, 0]], jnp.int32)
+    pos = jnp.asarray([40, 17], jnp.int32)
+
+    got = decode_attention_paged(q, k_pool, v_pool, tables, pos, 0.2,
+                                 k_scale=ks_pool, v_scale=vs_pool, interpret=True)
+    ref = decode_attention_q(q, paged_gather(k_pool, tables),
+                             paged_gather(v_pool, tables),
+                             paged_gather_scale(ks_pool, tables),
+                             paged_gather_scale(vs_pool, tables),
+                             pos, 0.2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
