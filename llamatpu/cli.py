@@ -43,7 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--sp", type=int, default=1,
                         help="sequence-parallel degree (KV S-axis sharded; "
                              "attention reductions all-reduce over the axis)")
-        sp.add_argument("--pp", type=int, default=1,
+        # NOT "--pp": the bench subcommand uses --pp for prompt lengths
+        # (llama-bench parity)
+        sp.add_argument("--pipeline", type=int, default=1, dest="pipeline",
                         help="pipeline-parallel degree (layer stages, "
                              "shard_map microbatch pipeline; composes with dp)")
         sp.add_argument("--profile-dir", default=None,
@@ -122,7 +124,8 @@ def _mesh(args):
     """Build a (dp, pp, sp, tp) mesh when parallelism is requested (multi-host
     init happens automatically via env — parallel/distributed.py)."""
     if (getattr(args, "tp", 0) <= 1 and getattr(args, "dp", 1) <= 1
-            and getattr(args, "sp", 1) <= 1 and getattr(args, "pp", 1) <= 1):
+            and getattr(args, "sp", 1) <= 1
+            and getattr(args, "pipeline", 1) <= 1):
         return None
     from llamatpu.parallel import make_mesh
     from llamatpu.parallel.distributed import initialize
@@ -130,7 +133,7 @@ def _mesh(args):
     initialize()
     return make_mesh(tp=max(args.tp, 1), dp=max(args.dp, 1),
                      sp=max(getattr(args, "sp", 1), 1),
-                     pp=max(getattr(args, "pp", 1), 1))
+                     pp=max(getattr(args, "pipeline", 1), 1))
 
 
 def _resolve_impl(args) -> None:
