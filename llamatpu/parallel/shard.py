@@ -132,6 +132,20 @@ def cache_shardings(cfg: ModelConfig, mesh: Mesh, cache=None):
     return KVCache(kv_s, kv_s)
 
 
+def paged_cache_shardings(cfg: ModelConfig, mesh: Mesh, cache):
+    """PagedKVCache sharding: pools [L, NBLK, KV, BS, hd] put kv heads on
+    "tp". NBLK stays replicated — block tables index arbitrary pool blocks, so
+    splitting the pool would turn every table lookup into a cross-device
+    gather; paged serving shards the MODEL (tp), not the pool."""
+    from llamatpu.runtime.paged_cache import PagedKVCache
+
+    kv_s = NamedSharding(mesh, P(None, None, "tp", None, None))
+    if cache.quantized:
+        sc_s = NamedSharding(mesh, P(None, None, "tp", None, None))
+        return PagedKVCache(kv_s, kv_s, cache.block_size, sc_s, sc_s)
+    return PagedKVCache(kv_s, kv_s, cache.block_size)
+
+
 def shard_model(weights: dict, cfg: ModelConfig, mesh: Mesh, ep: bool = False) -> dict:
     """device_put the weights pytree with TP/DP (+ optional EP) shardings."""
     shardings = weight_shardings(cfg, mesh, weights, ep)

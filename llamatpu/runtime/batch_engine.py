@@ -48,6 +48,8 @@ class BatchEngine:
         seed: int = 42,
         decode_window: int = 16,
         metrics: RunMetrics | None = None,
+        mesh=None,
+        ep: bool = False,
     ):
         self.model = model
         self.cfg = model.cfg
@@ -58,9 +60,17 @@ class BatchEngine:
         self.cache_dtype = cache_dtype
         self.decode_window = max(1, int(decode_window))
         self.metrics = metrics or RunMetrics()
+        self.mesh = mesh  # tensor/data-parallel serving: weights+KV sharded
+        self.ep = bool(ep and mesh is not None)
+        if mesh is not None:
+            assert mesh.shape.get("pp", 1) == 1, \
+                "pipeline parallelism is Engine-only (lane slicing vs stages)"
+            assert batch_size % mesh.shape.get("dp", 1) == 0, \
+                (batch_size, mesh.shape)
         self._rng = jax.random.PRNGKey(seed)
 
         cfg, impl_, W, B = self.cfg, impl, self.decode_window, batch_size
+        ep_mesh = self.mesh if self.ep else None
 
         def prefill_lane_fn(weights, tokens, cache, lane, pos, logit_idx, rng, temp, topp):
             """Prefill one chunk of one lane: slice the lane's cache stripe,
@@ -70,6 +80,7 @@ class BatchEngine:
             lane_cache = jax.tree.map(sl, cache)
             logits, lane_cache = forward_tokens(cfg, weights, tokens, lane_cache,
                                                 pos, impl=impl_, logit_index=logit_idx,
+                                                ep_mesh=ep_mesh,
                                                 s_limit=self.cache_len)
             up = lambda a, b: jax.lax.dynamic_update_slice_in_dim(a, b, lane, axis=1)
             cache = jax.tree.map(up, cache, lane_cache)
@@ -89,6 +100,7 @@ class BatchEngine:
                 i, tok, cache_, pos, act, rng_, out_ = c
                 logits, cache_ = forward_tokens(cfg, weights, tok[:, None], cache_,
                                                 pos, impl=impl_, last_logit_only=True,
+                                                ep_mesh=ep_mesh,
                                                 s_limit=self.cache_len)
                 rng_, sub = jax.random.split(rng_)
                 nxt = _sample_lanes(logits, sub, temps, topps)
@@ -109,20 +121,30 @@ class BatchEngine:
         self._decode_n = jax.jit(decode_n_fn, donate_argnums=(2, 5))
 
         with Timer() as t:
-            self.weights = jax.device_put(model.weights)
+            if mesh is not None:
+                from llamatpu.parallel import shard_model
+
+                self.weights = shard_model(model.weights, cfg, mesh, ep=self.ep)
+            else:
+                self.weights = jax.device_put(model.weights)
             jax.block_until_ready(jax.tree.leaves(self.weights))
         self.metrics.weight_upload_s = t.elapsed
-        from llamatpu.models.transformer import physical_cache_len
-
-        self.cache = init_cache(cfg, B, cache_dtype,
-                                physical_cache_len(self.cache_len, self.prefill_chunk))
+        self.cache = self._new_cache()
 
     # ------------------------------------------------------------------
-    def reset(self) -> None:
+    def _new_cache(self):
         from llamatpu.models.transformer import physical_cache_len
 
-        self.cache = init_cache(self.cfg, self.batch_size, self.cache_dtype,
-                                physical_cache_len(self.cache_len, self.prefill_chunk))
+        cache = init_cache(self.cfg, self.batch_size, self.cache_dtype,
+                           physical_cache_len(self.cache_len, self.prefill_chunk))
+        if self.mesh is not None:
+            from llamatpu.parallel import cache_shardings
+
+            cache = jax.device_put(cache, cache_shardings(self.cfg, self.mesh, cache))
+        return cache
+
+    def reset(self) -> None:
+        self.cache = self._new_cache()
 
     def prefill_lane(self, lane: int, tokens: list[int], start_pos: int = 0,
                      temperature: float = 0.0, top_p: float = 0.0) -> int:

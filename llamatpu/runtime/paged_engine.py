@@ -42,6 +42,8 @@ class PagedBatchEngine:
         decode_window: int = 16,
         metrics: RunMetrics | None = None,
         prefix_cache: bool = True,
+        mesh=None,
+        ep: bool = False,
     ):
         self.model = model
         self.cfg = model.cfg
@@ -59,10 +61,16 @@ class PagedBatchEngine:
         self.decode_window = max(1, int(decode_window))
         self.metrics = metrics or RunMetrics()
         self.prefix_cache = prefix_cache
+        self.mesh = mesh  # tp(/dp/ep)-sharded serving; pool blocks replicated
+        self.ep = bool(ep and mesh is not None)
+        if mesh is not None:
+            assert mesh.shape.get("pp", 1) == 1 and mesh.shape.get("sp", 1) == 1, \
+                "paged serving shards tp/dp/ep only"
         self._rng = jax.random.PRNGKey(seed)
         self.alloc = BlockAllocator(self.n_blocks, batch_size, self.max_blocks_per_lane)
 
         cfg, impl_, W, B = self.cfg, impl, self.decode_window, batch_size
+        ep_mesh = mesh if self.ep else None
 
         def prefill_lane_fn(weights, tokens, cache, tables, lane, pos, logit_idx,
                             rng, temp, topp):
@@ -71,7 +79,7 @@ class PagedBatchEngine:
             lane_tables = jax.lax.dynamic_slice_in_dim(tables, lane, 1, axis=0)
             logits, cache = forward_tokens(cfg, weights, tokens, cache, pos,
                                            impl=impl_, logit_index=logit_idx,
-                                           tables=lane_tables)
+                                           tables=lane_tables, ep_mesh=ep_mesh)
             rng, sub = jax.random.split(rng)
             tok = _sample_lanes(logits, sub, jnp.full((1,), temp), jnp.full((1,), topp))
             return tok, cache, rng
@@ -88,7 +96,7 @@ class PagedBatchEngine:
                 i, tok, cache_, pos, act, rng_, out_ = c
                 logits, cache_ = forward_tokens(cfg, weights, tok[:, None], cache_,
                                                 pos, impl=impl_, last_logit_only=True,
-                                                tables=tables)
+                                                tables=tables, ep_mesh=ep_mesh)
                 rng_, sub = jax.random.split(rng_)
                 nxt = _sample_lanes(logits, sub, temps, topps)
                 nxt = jnp.where(act, nxt, tok)
@@ -106,10 +114,27 @@ class PagedBatchEngine:
         self._decode_n = jax.jit(decode_n_fn, donate_argnums=(2, 6))
 
         with Timer() as t:
-            self.weights = jax.device_put(model.weights)
+            if mesh is not None:
+                from llamatpu.parallel import shard_model
+
+                self.weights = shard_model(model.weights, cfg, mesh, ep=self.ep)
+            else:
+                self.weights = jax.device_put(model.weights)
             jax.block_until_ready(jax.tree.leaves(self.weights))
         self.metrics.weight_upload_s = t.elapsed
-        self.cache = init_paged_cache(cfg, self.n_blocks, block_size, cache_dtype)
+        self.cache = self._new_pool(cache_dtype)
+
+    def _new_pool(self, cache_dtype):
+        cache = init_paged_cache(self.cfg, self.n_blocks, self.block_size,
+                                 cache_dtype)
+        if self.mesh is not None:
+            import jax as _jax
+
+            from llamatpu.parallel.shard import paged_cache_shardings
+
+            cache = _jax.device_put(
+                cache, paged_cache_shardings(self.cfg, self.mesh, cache))
+        return cache
 
     # -- scheduler hooks ---------------------------------------------------
     def can_admit(self, prompt_len: int) -> bool:
@@ -209,5 +234,4 @@ class PagedBatchEngine:
         # fresh allocator: drops lane tables AND the prefix cache (pool zeroed)
         self.alloc = BlockAllocator(self.n_blocks, self.batch_size,
                                     self.max_blocks_per_lane)
-        self.cache = init_paged_cache(self.cfg, self.n_blocks, self.block_size,
-                                      self.cache.k_pool.dtype)
+        self.cache = self._new_pool(self.cache.k_pool.dtype)

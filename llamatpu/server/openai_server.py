@@ -237,11 +237,13 @@ def serve(args) -> None:
     from llamatpu.models.loader import load_model
     from llamatpu.runtime.engine import Engine
 
-    from llamatpu.cli import _cache_dtype
+    from llamatpu.cli import _cache_dtype, _mesh
 
     model = load_model(args.model, max_tokens=args.max_tokens)
     cache_len = (min(args.max_tokens, model.cfg.context_length)
                  if args.max_tokens else None)
+    mesh = _mesh(args)
+    ep = getattr(args, "ep", False)
     if getattr(args, "batch_size", 1) > 1:
         from llamatpu.server.service import BatchedInferenceService
 
@@ -253,18 +255,19 @@ def serve(args) -> None:
                 prefill_chunk=args.prefill_chunk, max_len=cache_len,
                 n_blocks=getattr(args, "kv_blocks", 0) or None,
                 block_size=getattr(args, "kv_block_size", 16),
-                cache_dtype=_cache_dtype(args),
+                cache_dtype=_cache_dtype(args), mesh=mesh, ep=ep,
                 prefix_cache=not getattr(args, "no_prefix_cache", False))
         else:
             from llamatpu.runtime.batch_engine import BatchEngine
 
             bengine = BatchEngine(model, batch_size=args.batch_size, impl=args.impl,
                                   prefill_chunk=args.prefill_chunk, cache_len=cache_len,
-                                  cache_dtype=_cache_dtype(args))
+                                  cache_dtype=_cache_dtype(args), mesh=mesh, ep=ep)
         service = BatchedInferenceService(model, bengine)
     else:
         engine = Engine(model, impl=args.impl, prefill_chunk=args.prefill_chunk,
-                        cache_len=cache_len, cache_dtype=_cache_dtype(args))
+                        cache_len=cache_len, cache_dtype=_cache_dtype(args),
+                        mesh=mesh, ep=ep)
         service = InferenceService(model, engine,
                                    prefix_cache=not getattr(args, "no_prefix_cache", False))
     model_id = model.metadata.get("general.name", "llamatpu")

@@ -113,3 +113,40 @@ def test_pp2_int8_kv_matches_unsharded(model):
     e = Engine(model, cache_dtype=jnp.int8, aot_compile=False,
                decode_window=4, mesh=mesh)
     assert e.generate([5, 9, 23, 41], 6).tokens == ref
+
+
+def test_batch_engine_tp2_matches_unsharded(model):
+    """Tensor-parallel continuous-batching substrate: BatchEngine with
+    tp-sharded weights/KV bit-matches the unsharded engine."""
+    from llamatpu.runtime.batch_engine import BatchEngine
+
+    prompts = [[5, 9, 23], [41, 8, 2, 7]]
+    ref = BatchEngine(model, batch_size=2, cache_dtype=jnp.float32,
+                      decode_window=4).generate_batch(prompts, 6)
+    mesh = make_mesh(tp=2, dp=1, devices=jax.devices()[:2])
+    e = BatchEngine(model, batch_size=2, cache_dtype=jnp.float32,
+                    decode_window=4, mesh=mesh)
+    assert e.generate_batch(prompts, 6) == ref
+
+
+def test_paged_engine_tp2_matches_unsharded(model):
+    """tp-sharded paged serving (pool kv heads on tp, blocks replicated) with
+    prefix caching stays exact."""
+    from llamatpu.runtime.paged_engine import PagedBatchEngine
+    from llamatpu.runtime.scheduler import BatchRequest, ContinuousBatcher
+
+    prompt = [5, 9, 23, 41, 8, 2, 7, 3, 1]
+    ref = Engine(model, cache_dtype=jnp.float32, aot_compile=False,
+                 decode_window=4).generate(prompt, 6).tokens
+    mesh = make_mesh(tp=2, dp=1, devices=jax.devices()[:2])
+    e = PagedBatchEngine(model, batch_size=2, block_size=4,
+                         cache_dtype=jnp.float32, decode_window=4,
+                         prefill_chunk=4, mesh=mesh)
+    b = ContinuousBatcher(e, stop_tokens=set())
+    s1 = b.submit(BatchRequest(list(prompt), 6))
+    cold = list(s1)
+    s2 = b.submit(BatchRequest(list(prompt), 6))
+    warm = list(s2)
+    b.shutdown()
+    assert cold == ref and warm == ref
+    assert s2.cached_tokens == 8
