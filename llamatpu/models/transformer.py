@@ -227,23 +227,60 @@ def finish_logits(cfg: ModelConfig, weights, x, impl="xla",
     return logits
 
 
+def _write_rows(c_all, new, li, pos_vec, row0, gate):
+    """Write [B, KV, T, hd] token KV into the STACKED cache [L, Ball, KV, S,
+    hd] at (layer li, batch rows row0.., positions pos_vec[b]..). Writes touch
+    only the T new positions — the whole point of the carry-form scan (a per-
+    layer slice passed through scan xs/ys makes XLA copy the entire cache
+    every step: 26 ms vs 2 ms per decode step at Phi-3 geometry, on chip)."""
+    upd = c_all
+    for bi_ in range(new.shape[0]):
+        row = bi_ if row0 is None else row0 + bi_
+        upd = jax.lax.dynamic_update_slice(
+            upd, new[bi_][None, None].astype(c_all.dtype),
+            (li, row, 0, pos_vec[bi_], 0))
+    if gate is not None:  # pipeline bubble steps must not write garbage
+        upd = jnp.where(gate, upd, c_all)
+    return upd
+
+
+def _write_scale_rows(c_all, snew, li, pos_vec, row0, gate):
+    """snew [B, T, KV] f32 -> stacked scale rows [L, Ball, KV, 1, S]."""
+    upd = c_all
+    for bi_ in range(snew.shape[0]):
+        row = bi_ if row0 is None else row0 + bi_
+        blockv = snew[bi_].T[None, None, :, None, :]  # [1, 1, KV, 1, T]
+        upd = jax.lax.dynamic_update_slice(
+            upd, blockv, (li, row, 0, 0, pos_vec[bi_]))
+    if gate is not None:
+        upd = jnp.where(gate, upd, c_all)
+    return upd
+
+
 def make_layer_fn(cfg: ModelConfig, impl, b, t, pos_vec, cos, sin, *,
                   quantized=False, paged=False, block_size=None, tables=None,
-                  s_limit: int | None = None, ep_mesh=None):
-    """One transformer layer as a lax.scan step over stacked weights.
+                  s_limit: int | None = None, ep_mesh=None, batch_offset=None,
+                  write_gate=None):
+    """One transformer layer as a lax.scan step over stacked weights with the
+    STACKED KV cache carried through the scan.
 
-    per_layer = (lw, kc, vc) or (lw, kc, vc, ksc, vsc) in int8-KV mode; the
-    cache slices are [B, KV, S, hd] (dense) or pool slices [NBLK, KV, BS, hd]
-    (paged, with `tables`/`block_size`). Factored out of forward_tokens so the
-    pipeline-parallel stage loop (parallel/pipeline.py) scans the same layer
-    math over its local layer shard."""
+    layer_fn(carry, per_layer): carry = (x, kc, vc[, ksc, vsc]) where the
+    cache arrays keep their leading L axis ([L, Ball, KV, S, hd] dense pools
+    or [L, NBLK, KV, BS, hd] paged pools); per_layer = (lw, layer_index).
+    Writes touch only the T new positions; decode attention DMAs straight from
+    the stacked arrays (layer_index-mode Pallas kernels) so no per-layer slice
+    is ever materialized. batch_offset: this window's rows live at
+    [batch_offset, batch_offset + b) of the cache batch axis (pipeline
+    microbatches / lane prefill). write_gate: traced bool — False suppresses
+    the cache writes (pipeline bubble steps)."""
     kv, g = cfg.n_kv_heads, cfg.gqa_groups
 
-    def layer_fn(x, per_layer):
+    def layer_fn(carry, per_layer):
+        lw, li = per_layer
         if quantized:
-            lw, kc, vc, ksc, vsc = per_layer
+            x, kc, vc, ksc, vsc = carry
         else:
-            lw, kc, vc = per_layer
+            x, kc, vc = carry
             ksc = vsc = None
         ks_view = vs_view = None  # dense [B, KV, 1, S] scale views (int8 mode)
         h = rmsnorm(x, lw["attn_norm"], cfg.rms_norm_eps)
@@ -263,63 +300,87 @@ def make_layer_fn(cfg: ModelConfig, impl, b, t, pos_vec, cos, sin, *,
         q = apply_rope(q, cos, sin, cfg.rope_style)
         k = apply_rope(k, cos, sin, cfg.rope_style)
 
-        paged_kernel = paged and impl == "pallas" and t == 1
+        # stacked-kernel mode: decode attention DMAs straight from the carried
+        # [L, ...] arrays (batch_offset windows fall back to materialized
+        # slices — the kernels' index maps have no row offset)
+        use_stacked = impl == "pallas" and t == 1 and batch_offset is None
+        row0 = batch_offset
         if paged:
-            from llamatpu.runtime.paged_cache import paged_gather, paged_write
+            from llamatpu.runtime.paged_cache import (paged_gather,
+                                                      paged_write_stacked)
 
             bs = block_size
             if quantized:
                 from llamatpu.ops.kv_quant import quantize_kv
 
-                from llamatpu.runtime.paged_cache import (paged_gather_scale,
-                                                          paged_write_scale)
+                from llamatpu.runtime.paged_cache import (
+                    paged_gather_scale, paged_write_scale_stacked)
 
                 kq, ks_new = quantize_kv(k)  # int8 [B,T,KV,hd], f32 [B,T,KV]
                 vq, vs_new = quantize_kv(v)
-                kc = paged_write(kc, kq, tables, pos_vec, bs)
-                vc = paged_write(vc, vq, tables, pos_vec, bs)
-                ksc = paged_write_scale(ksc, ks_new, tables, pos_vec, bs)
-                vsc = paged_write_scale(vsc, vs_new, tables, pos_vec, bs)
-                if not paged_kernel:
-                    ks_view = paged_gather_scale(ksc, tables)
-                    vs_view = paged_gather_scale(vsc, tables)
+                kc = paged_write_stacked(kc, li, kq, tables, pos_vec, bs)
+                vc = paged_write_stacked(vc, li, vq, tables, pos_vec, bs)
+                ksc = paged_write_scale_stacked(ksc, li, ks_new, tables, pos_vec, bs)
+                vsc = paged_write_scale_stacked(vsc, li, vs_new, tables, pos_vec, bs)
             else:
-                kc = paged_write(kc, k.astype(kc.dtype), tables, pos_vec, bs)
-                vc = paged_write(vc, v.astype(vc.dtype), tables, pos_vec, bs)
-            if paged_kernel:
-                kd = vd = None  # in-kernel block-table DMA, no dense gather
-            else:
-                kd = paged_gather(kc, tables)
-                vd = paged_gather(vc, tables)
-        elif quantized:
-            from llamatpu.ops.kv_quant import quantize_kv
-
-            kq, ks_new = quantize_kv(k)  # int8 [B,T,KV,hd], f32 [B,T,KV]
-            vq, vs_new = quantize_kv(v)
-            upd = jax.vmap(lambda c, new, p: jax.lax.dynamic_update_slice(c, new, (0, p, 0)))
-            kc = upd(kc, kq.transpose(0, 2, 1, 3), pos_vec)
-            vc = upd(vc, vq.transpose(0, 2, 1, 3), pos_vec)
-            # scale rows [B, KV, 1, S]: update along the lane (S) axis
-            upds = jax.vmap(lambda c, new, p: jax.lax.dynamic_update_slice(c, new, (0, 0, p)))
-            ksc = upds(ksc, ks_new.transpose(0, 2, 1)[:, :, None, :], pos_vec)
-            vsc = upds(vsc, vs_new.transpose(0, 2, 1)[:, :, None, :], pos_vec)
-            kd, vd = kc, vc
-            ks_view, vs_view = ksc, vsc
+                kc = paged_write_stacked(kc, li, k, tables, pos_vec, bs)
+                vc = paged_write_stacked(vc, li, v, tables, pos_vec, bs)
+            if not use_stacked:
+                pool_l = jax.lax.dynamic_index_in_dim(kc, li, 0, keepdims=False)
+                kd = paged_gather(pool_l, tables)
+                pool_l = jax.lax.dynamic_index_in_dim(vc, li, 0, keepdims=False)
+                vd = paged_gather(pool_l, tables)
+                if quantized:
+                    sl = jax.lax.dynamic_index_in_dim(ksc, li, 0, keepdims=False)
+                    ks_view = paged_gather_scale(sl, tables)
+                    sl = jax.lax.dynamic_index_in_dim(vsc, li, 0, keepdims=False)
+                    vs_view = paged_gather_scale(sl, tables)
         else:
-            # write [B, T, KV, hd] -> head-major cache [B, KV, S, hd] at per-seq pos
-            upd = jax.vmap(lambda c, new, p: jax.lax.dynamic_update_slice(c, new, (0, p, 0)))
-            kc = upd(kc, k.astype(kc.dtype).transpose(0, 2, 1, 3), pos_vec)
-            vc = upd(vc, v.astype(vc.dtype).transpose(0, 2, 1, 3), pos_vec)
-            kd, vd = kc, vc
+            if quantized:
+                from llamatpu.ops.kv_quant import quantize_kv
 
-        if paged_kernel:
-            from llamatpu.ops.pallas_attention import decode_attention_paged
+                kq, ks_new = quantize_kv(k)  # int8 [B,T,KV,hd], f32 [B,T,KV]
+                vq, vs_new = quantize_kv(v)
+                kc = _write_rows(kc, kq.transpose(0, 2, 1, 3), li, pos_vec,
+                                 row0, write_gate)
+                vc = _write_rows(vc, vq.transpose(0, 2, 1, 3), li, pos_vec,
+                                 row0, write_gate)
+                ksc = _write_scale_rows(ksc, ks_new, li, pos_vec, row0, write_gate)
+                vsc = _write_scale_rows(vsc, vs_new, li, pos_vec, row0, write_gate)
+            else:
+                kc = _write_rows(kc, k.transpose(0, 2, 1, 3), li, pos_vec,
+                                 row0, write_gate)
+                vc = _write_rows(vc, v.transpose(0, 2, 1, 3), li, pos_vec,
+                                 row0, write_gate)
+            if not use_stacked:
+                r0 = 0 if row0 is None else row0
+                s_full = kc.shape[3]
+                sl5 = lambda c_all, hd_: jax.lax.dynamic_slice(
+                    c_all, (li, r0, 0, 0, 0), (1, b, kv, s_full, hd_))[0]
+                kd = sl5(kc, cfg.head_dim)
+                vd = sl5(vc, cfg.v_head_dim)
+                if quantized:
+                    slsc = lambda c_all: jax.lax.dynamic_slice(
+                        c_all, (li, r0, 0, 0, 0), (1, b, kv, 1, s_full))[0]
+                    ks_view = slsc(ksc)
+                    vs_view = slsc(vsc)
 
-            attn = decode_attention_paged(
-                q.reshape(b, kv, g, cfg.head_dim), kc, vc, tables, pos_vec,
-                cfg.attn_score_scale, k_scale=ksc, v_scale=vsc,
-                interpret=jax.default_backend() != "tpu",
-            ).reshape(b, t, kv, g, cfg.v_head_dim)
+        if use_stacked:
+            q4 = q.reshape(b, kv, g, cfg.head_dim)
+            if paged:
+                from llamatpu.ops.pallas_attention import decode_attention_paged
+
+                attn = decode_attention_paged(
+                    q4, kc, vc, tables, pos_vec, cfg.attn_score_scale,
+                    k_scale=ksc, v_scale=vsc, layer_index=li,
+                    interpret=jax.default_backend() != "tpu")
+            else:
+                from llamatpu.ops.pallas_attention import decode_attention_auto
+
+                attn = decode_attention_auto(
+                    q4, kc, vc, pos_vec, cfg.attn_score_scale,
+                    k_scale=ksc, v_scale=vsc, s_limit=s_limit, layer_index=li)
+            attn = attn.reshape(b, t, kv, g, cfg.v_head_dim)
         elif impl == "pallas" and t == 1:
             from llamatpu.ops.pallas_attention import decode_attention_auto
 
@@ -352,14 +413,16 @@ def make_layer_fn(cfg: ModelConfig, impl, b, t, pos_vec, cos, sin, *,
         if cfg.residual_scale != 1.0:
             ffn = (ffn.astype(jnp.float32) * cfg.residual_scale).astype(x.dtype)
         x = x + ffn
-        return x, ((kc, vc, ksc, vsc) if quantized else (kc, vc))
+        carry = (x, kc, vc, ksc, vsc) if quantized else (x, kc, vc)
+        return carry, None
 
     return layer_fn
 
 
 def forward_tokens(cfg: ModelConfig, weights, tokens, cache, pos, impl="xla",
                    last_logit_only=False, logit_index=None, tables=None,
-                   ep_mesh=None, s_limit: int | None = None):
+                   ep_mesh=None, s_limit: int | None = None,
+                   batch_offset=None):
     """Run T tokens at absolute positions pos..pos+T-1 through the full model.
 
     tokens: int32 [B, T]; pos: scalar int32 OR per-sequence vector [B] (the
@@ -369,6 +432,9 @@ def forward_tokens(cfg: ModelConfig, weights, tokens, cache, pos, impl="xla",
     logits: [B, T, vocab], or [B, vocab] when last_logit_only (static index -1)
     or logit_index (traced scalar — used by chunked prefill to pick the last
     REAL token's logits inside a padded final chunk).
+    batch_offset (traced, dense cache only): tokens' B rows map to cache rows
+    [batch_offset, batch_offset + B) — lane prefill into a wider batched cache
+    without slicing/scattering the whole lane stripe.
     """
     from llamatpu.runtime.paged_cache import PagedKVCache
 
@@ -381,28 +447,25 @@ def forward_tokens(cfg: ModelConfig, weights, tokens, cache, pos, impl="xla",
     layer_fn = make_layer_fn(cfg, impl, b, t, pos_vec, cos, sin,
                              quantized=quantized, paged=paged,
                              block_size=cache.block_size if paged else None,
-                             tables=tables, s_limit=s_limit, ep_mesh=ep_mesh)
+                             tables=tables, s_limit=s_limit, ep_mesh=ep_mesh,
+                             batch_offset=batch_offset)
+
+    # the STACKED cache rides the scan CARRY with position-only writes (xs/ys
+    # plumbing makes XLA copy the whole cache per step — see make_layer_fn)
+    arrs = ((cache.k_pool, cache.v_pool) if paged else (cache.k, cache.v))
+    if quantized:
+        arrs += (cache.k_scale, cache.v_scale)
+    li_arr = jnp.arange(cfg.n_layers, dtype=jnp.int32)
+    carry, _ = jax.lax.scan(layer_fn, (x,) + arrs, (weights["layers"], li_arr))
+    x, new = carry[0], carry[1:]
 
     if paged:
         from llamatpu.runtime.paged_cache import PagedKVCache as _P
 
-        if quantized:
-            x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
-                layer_fn, x, (weights["layers"], cache.k_pool, cache.v_pool,
-                              cache.k_scale, cache.v_scale))
-            new_cache = _P(k_new, v_new, cache.block_size, ks_new, vs_new)
-        else:
-            x, (k_new, v_new) = jax.lax.scan(
-                layer_fn, x, (weights["layers"], cache.k_pool, cache.v_pool))
-            new_cache = _P(k_new, v_new, cache.block_size)
-    elif quantized:
-        x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
-            layer_fn, x, (weights["layers"], cache.k, cache.v,
-                          cache.k_scale, cache.v_scale))
-        new_cache = KVCache(k_new, v_new, ks_new, vs_new)
+        new_cache = (_P(new[0], new[1], cache.block_size, new[2], new[3])
+                     if quantized else _P(new[0], new[1], cache.block_size))
     else:
-        x, (k_new, v_new) = jax.lax.scan(layer_fn, x, (weights["layers"], cache.k, cache.v))
-        new_cache = KVCache(k_new, v_new)
+        new_cache = KVCache(*new)
 
     logits = finish_logits(cfg, weights, x, impl, last_logit_only, logit_index)
     return logits, new_cache

@@ -90,6 +90,8 @@ def forward_tokens_pp(cfg: ModelConfig, weights, tokens, cache, pos, mesh,
         (cache.k_scale, cache.v_scale) if quantized else ())
     kv_spec = P("pp", "dp")
 
+    l_loc = cfg.n_layers // pp
+
     def stage_fn(layers_l, static_l, tokens_l, pos_l, *cache_l):
         s = jax.lax.axis_index("pp")
         dtype = static_l["tok_emb"].dtype
@@ -106,15 +108,16 @@ def forward_tokens_pp(cfg: ModelConfig, weights, tokens, cache, pos, mesh,
             positions = pos_mb[:, None] + jnp.arange(t)[None, :]
             cos = static_l["rope_cos"][positions][:, :, None, :]
             sin = static_l["rope_sin"][positions][:, :, None, :]
+            # carry-form layer scan: the stage-local stacked cache flows
+            # through; this microbatch's rows start at r0 and bubble steps
+            # gate their writes off
             layer_fn = make_layer_fn(cfg, impl, mb, t, pos_mb, cos, sin,
-                                     quantized=quantized, s_limit=s_limit)
-            kv_mb = tuple(jax.lax.dynamic_slice_in_dim(c, r0, mb, 1)
-                          for c in cache_l)
-            y, kv_new = jax.lax.scan(layer_fn, x, (layers_l,) + kv_mb)
-            cache_l = tuple(
-                jnp.where(valid,
-                          jax.lax.dynamic_update_slice_in_dim(c, n, r0, 1), c)
-                for c, n in zip(cache_l, kv_new))
+                                     quantized=quantized, s_limit=s_limit,
+                                     batch_offset=r0, write_gate=valid)
+            carry_l, _ = jax.lax.scan(
+                layer_fn, (x,) + cache_l,
+                (layers_l, jnp.arange(l_loc, dtype=jnp.int32)))
+            y, cache_l = carry_l[0], carry_l[1:]
             outbuf = jnp.where(
                 valid & (s == pp - 1),
                 jax.lax.dynamic_update_slice_in_dim(outbuf, y, r0, 0), outbuf)

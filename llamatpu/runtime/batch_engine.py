@@ -73,17 +73,13 @@ class BatchEngine:
         ep_mesh = self.mesh if self.ep else None
 
         def prefill_lane_fn(weights, tokens, cache, lane, pos, logit_idx, rng, temp, topp):
-            """Prefill one chunk of one lane: slice the lane's cache stripe,
-            run as batch-1, scatter the stripe back (lane axis is 1 for both
-            the int8 k/v arrays and their scale rows)."""
-            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, lane, 1, axis=1)
-            lane_cache = jax.tree.map(sl, cache)
-            logits, lane_cache = forward_tokens(cfg, weights, tokens, lane_cache,
-                                                pos, impl=impl_, logit_index=logit_idx,
-                                                ep_mesh=ep_mesh,
-                                                s_limit=self.cache_len)
-            up = lambda a, b: jax.lax.dynamic_update_slice_in_dim(a, b, lane, axis=1)
-            cache = jax.tree.map(up, cache, lane_cache)
+            """Prefill one chunk of one lane IN PLACE via batch_offset: the
+            window's KV writes land at cache row `lane` directly — no lane
+            stripe slice/scatter (those copied the whole stripe per chunk)."""
+            logits, cache = forward_tokens(cfg, weights, tokens, cache,
+                                           pos, impl=impl_, logit_index=logit_idx,
+                                           ep_mesh=ep_mesh, batch_offset=lane,
+                                           s_limit=self.cache_len)
             rng, sub = jax.random.split(rng)
             tok = _sample_lanes(logits, sub, jnp.full((1,), temp), jnp.full((1,), topp))
             return tok, cache, rng

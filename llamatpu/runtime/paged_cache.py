@@ -121,6 +121,28 @@ def paged_write_scale(spool, snew, tables, pos_vec, block_size):
         snew.reshape(b * t, kv))
 
 
+def paged_write_stacked(pool, li, new, tables, pos_vec, block_size):
+    """Scatter into the STACKED pool [L, NBLK, KV, BS, hd] at layer li
+    (carry-form scan — see models/transformer.make_layer_fn). new: [B, T, KV,
+    hd]; tables: [B, MAXBLK]; pos_vec: [B]."""
+    b, t, kv, hd = new.shape
+    positions = pos_vec[:, None] + jnp.arange(t)[None, :]
+    blks = jnp.take_along_axis(tables, positions // block_size, axis=1)
+    offs = positions % block_size
+    return pool.at[li, blks.reshape(-1), :, offs.reshape(-1), :].set(
+        new.reshape(b * t, kv, hd).astype(pool.dtype))
+
+
+def paged_write_scale_stacked(spool, li, snew, tables, pos_vec, block_size):
+    """snew [B, T, KV] -> stacked scale pool [L, NBLK, KV, 1, BS] at layer li."""
+    b, t, kv = snew.shape
+    positions = pos_vec[:, None] + jnp.arange(t)[None, :]
+    blks = jnp.take_along_axis(tables, positions // block_size, axis=1)
+    offs = positions % block_size
+    return spool.at[li, blks.reshape(-1), :, 0, offs.reshape(-1)].set(
+        snew.reshape(b * t, kv))
+
+
 def paged_gather_scale(spool, tables):
     """Dense scale-row lane view matching paged_gather: spool [NBLK, KV, 1, BS]
     + tables [B, MAXBLK] -> [B, KV, 1, MAXBLK*BS]."""

@@ -140,3 +140,40 @@ def test_paged_attention_int8_matches_dense_gather():
                              paged_gather_scale(vs_pool, tables),
                              pos, 0.2, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_multi_head_per_program_matches_hpp1():
+    """hpp>1 (MHA grid batching) must equal the per-head grid exactly."""
+    import numpy as np
+    from llamatpu.ops.pallas_attention import decode_attention
+
+    rng = np.random.default_rng(9)
+    B, KV, G, HD, S = 2, 8, 1, 32, 64
+    q = jnp.asarray(rng.standard_normal((B, KV, G, HD)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, KV, S, HD)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, KV, S, HD)), jnp.float32)
+    pos = jnp.asarray([33, 64 - 1], jnp.int32)
+    a = decode_attention(q, k, v, pos, 0.3, interpret=True, hpp=1)
+    b4 = decode_attention(q, k, v, pos, 0.3, interpret=True, hpp=4)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b4))
+
+
+def test_multi_head_per_program_int8_matches_hpp1():
+    import numpy as np
+    from llamatpu.ops.kv_quant import quantize_kv
+    from llamatpu.ops.pallas_attention import decode_attention_q
+
+    rng = np.random.default_rng(10)
+    B, KV, G, HD, S = 1, 4, 2, 32, 48
+    q = jnp.asarray(rng.standard_normal((B, KV, G, HD)), jnp.float32)
+    kf = jnp.asarray(rng.standard_normal((B, KV, S, HD)), jnp.float32)
+    vf = jnp.asarray(rng.standard_normal((B, KV, S, HD)), jnp.float32)
+    kq, ks = quantize_kv(kf.transpose(0, 2, 1, 3))
+    vq, vs = quantize_kv(vf.transpose(0, 2, 1, 3))
+    kc, vc = kq.transpose(0, 2, 1, 3), vq.transpose(0, 2, 1, 3)
+    ksr = ks.transpose(0, 2, 1)[:, :, None, :]
+    vsr = vs.transpose(0, 2, 1)[:, :, None, :]
+    pos = jnp.asarray([29], jnp.int32)
+    a = decode_attention_q(q, kc, vc, ksr, vsr, pos, 0.3, interpret=True, hpp=1)
+    b2 = decode_attention_q(q, kc, vc, ksr, vsr, pos, 0.3, interpret=True, hpp=2)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b2))
