@@ -45,6 +45,15 @@ PRESETS: dict[str, dict] = {
                            embedding_scale=12.0, residual_scale=0.22,
                            attention_scale=0.015625, logit_scale=0.125,
                            tied_embeddings=True),
+    # Qwen1.5-MoE-A2.7B: the reference's Qwen 2 MoE target geometry
+    # (model/qwen2/Qwen2MoEConfiguration.java; 60 experts, top-4 w/o renorm,
+    # always-on shared expert)
+    "qwen15-moe-a2.7b": dict(family=Family.QWEN_2_MOE, dim=2048, hidden_dim=5632,
+                             n_layers=24, n_heads=16, n_kv_heads=16, head_dim=128,
+                             vocab_size=151936, context_length=4096,
+                             rope_theta=1000000.0, rms_norm_eps=1e-6,
+                             rope_style="neox", qkv_bias=True,
+                             n_experts=60, n_experts_used=4, moe_hidden_dim=1408),
 }
 
 
@@ -99,6 +108,25 @@ def build_synthetic_model(preset: str, quant: str = "q8_0", seed: int = 0,
     if cfg.qk_norm:
         layers["q_norm"] = np.ones((cfg.n_layers, cfg.head_dim), np.float32)
         layers["k_norm"] = np.ones((cfg.n_layers, cfg.head_dim), np.float32)
+
+    if cfg.is_moe:
+        # routed experts replace the dense FFN (w1/w2/w3 stay for the always-
+        # on shared expert, hidden_dim-sized, matching the loader's layout)
+        def emat(out_dim, in_dim):
+            shape = (cfg.n_layers, cfg.n_experts, out_dim, in_dim)
+            if quant in ("q8_0", "q4_0"):
+                return prepare_qtensor(_rand_qtensor(rng, shape, quant))
+            return _rand_dense(rng, shape, dtype)
+
+        del layers["w1"], layers["w2"], layers["w3"]
+        layers["router"] = _rand_dense(rng, (cfg.n_layers, cfg.n_experts, cfg.dim), "f32")
+        layers["gate_exps"] = emat(cfg.moe_hidden_dim, cfg.dim)
+        layers["up_exps"] = emat(cfg.moe_hidden_dim, cfg.dim)
+        layers["down_exps"] = emat(cfg.dim, cfg.moe_hidden_dim)
+        layers["shared_gate"] = mat(cfg.hidden_dim, cfg.dim)
+        layers["shared_up"] = mat(cfg.hidden_dim, cfg.dim)
+        layers["shared_down"] = mat(cfg.dim, cfg.hidden_dim)
+        layers["shared_gate_inp"] = _rand_dense(rng, (cfg.n_layers, cfg.dim), "f32")
 
     cos, sin = precompute_rope_tables(cfg)
     wcls = (prepare_qtensor(_rand_qtensor(rng, (cfg.vocab_size, cfg.dim), quant))
