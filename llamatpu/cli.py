@@ -48,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--pipeline", type=int, default=1, dest="pipeline",
                         help="pipeline-parallel degree (layer stages, "
                              "shard_map microbatch pipeline; composes with dp)")
+        sp.add_argument("--spec-decode", type=int, default=0,
+                        help="prompt-lookup speculative decoding draft length "
+                             "(greedy only, exact; 0 = off)")
         sp.add_argument("--profile-dir", default=None,
                         help="capture a jax.profiler trace into this directory")
         sp.add_argument("--dump-hlo", default=None,
@@ -169,7 +172,8 @@ def cmd_run(args) -> int:
     engine = Engine(model, impl=args.impl, temperature=temp, top_p=top_p,
                     seed=args.seed, prefill_chunk=args.prefill_chunk,
                     cache_dtype=_cache_dtype(args), metrics=metrics,
-                    mesh=_mesh(args), ep=getattr(args, "ep", False))
+                    mesh=_mesh(args), ep=getattr(args, "ep", False),
+                    spec_decode=getattr(args, "spec_decode", 0))
     if args.dump_hlo:
         from llamatpu.utils.profiling import dump_decode_hlo
 

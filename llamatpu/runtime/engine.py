@@ -65,6 +65,7 @@ class Engine:
         decode_window: int = 16,
         mesh=None,
         ep: bool = False,
+        spec_decode: int = 0,
     ):
         self.model = model
         self.cfg = model.cfg
@@ -84,6 +85,20 @@ class Engine:
         self.pp = bool(mesh is not None and mesh.shape.get("pp", 1) > 1)
         if self.pp:
             assert not self.ep, "pp + expert parallelism not supported yet"
+        # prompt-lookup speculative decoding: draft length K (0 = off).
+        # Greedy decode verifies K n-gram-drafted tokens per forward — on a
+        # weight-bandwidth-bound chip a T=1+K verify forward reads the same
+        # weight bytes as T=1, so accepted drafts are nearly free (measured
+        # <5% step-cost overhead at K=8 on chip, up to ~(1+K)x on predictable
+        # text). Every emitted token is the verify forward's own greedy argmax
+        # — bit-exact vs plain greedy when the forward is batch-invariant
+        # (f32/XLA, tested); under bf16 TPU kernels the T=1+K tiling can flip
+        # argmax near-ties, the standard speculative-decoding caveat. Sampled
+        # requests transparently use the normal path.
+        self.spec_k = max(0, int(spec_decode))
+        assert self.spec_k == 0 or batch_size == 1, \
+            "speculative decoding is single-sequence"
+        self._ids = None  # [B, physical_len] device token-id history (spec)
 
         with Timer() as t:
             if mesh is not None:
@@ -104,12 +119,14 @@ class Engine:
     def _new_cache(self):
         from llamatpu.models.transformer import physical_cache_len
 
-        cache = init_cache(self.cfg, self.batch_size, self.cache_dtype,
-                           physical_cache_len(self.cache_len, self.prefill_chunk))
+        plen = physical_cache_len(self.cache_len, self.prefill_chunk)
+        cache = init_cache(self.cfg, self.batch_size, self.cache_dtype, plen)
         if self.mesh is not None:
             from llamatpu.parallel import cache_shardings
 
             cache = jax.device_put(cache, cache_shardings(self.cfg, self.mesh, cache))
+        if self.spec_k:
+            self._ids = jnp.zeros((self.batch_size, plen), jnp.int32)
         return cache
 
     # ------------------------------------------------------------------
@@ -141,12 +158,75 @@ class Engine:
                 return sampling.greedy(logits)
             return sampling.sample_dynamic(logits, sub, temp, topp)
 
+        K = self.spec_k if greedy else 0
+
         def prefill_fn(weights, tokens, cache, pos, logit_idx, rng, temp, topp):
             logits, cache = fwd(weights, tokens, cache, pos,
                                 logit_index=logit_idx)
             rng, sub = jax.random.split(rng)
             next_tok = sample_fn(logits, sub, temp, topp)
             return next_tok, logits, cache, rng
+
+        def prefill_spec_fn(weights, tokens, cache, ids, pos, logit_idx, rng,
+                            temp, topp):
+            # record the prompt ids (the prompt-lookup draft corpus); pad
+            # garbage past the real length is masked by the search (j <= pos-2)
+            # or overwritten by the next contiguous chunk/window
+            ids = jax.lax.dynamic_update_slice(ids, tokens, (0, pos))
+            next_tok, logits, cache, rng = prefill_fn(
+                weights, tokens, cache, pos, logit_idx, rng, temp, topp)
+            return next_tok, logits, cache, ids, rng
+
+        def spec_decode_n_fn(weights, token, cache, ids, pos0, rng, stops, limit):
+            """Greedy prompt-lookup speculative decode: each step drafts K
+            tokens from the last bigram's previous continuation in the token
+            history and verifies them in ONE T=1+K forward (same weight HBM
+            traffic as T=1). Emits the accepted prefix + one bonus token —
+            identical to plain greedy decode by construction. Rejected drafts
+            leave garbage KV/ids past the accepted position; the next window
+            starts there and rewrites every such position before any query
+            attends to it (same invariant as padded prefill chunks)."""
+            b = token.shape[0]
+            out = jnp.full((W + K, b), -1, jnp.int32)
+
+            def cond(c):
+                cnt, tok, cache_, ids_, pos, out_, done = c
+                return jnp.logical_and(cnt < limit, jnp.logical_not(done))
+
+            def body(c):
+                cnt, tok, cache_, ids_, pos, out_, done = c
+                s_phys = ids_.shape[1]
+                a = ids_[0, pos - 1]
+                iota = jnp.arange(s_phys - 1, dtype=jnp.int32)
+                hitmask = ((iota <= pos - 2) & (ids_[0, :-1] == a)
+                           & (ids_[0, 1:] == tok[0]))
+                jstar = jnp.max(jnp.where(hitmask, iota, -1))
+                start = jnp.clip(jstar + 2, 0, s_phys - K)
+                drafts = jax.lax.dynamic_slice(ids_, (0, start), (1, K))[0]
+                drafts = jnp.where(jstar >= 0, drafts, jnp.full((K,), tok[0]))
+                w = jnp.concatenate([tok, drafts])[None, :]        # [1, 1+K]
+                ids_ = jax.lax.dynamic_update_slice(ids_, w, (0, pos))
+                logits, cache_ = fwd(weights, w, cache_, pos)      # [1,1+K,V]
+                cand = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
+                match = (cand[:-1] == drafts).astype(jnp.int32)
+                m = jnp.sum(jnp.cumprod(match))                    # accepted
+                idxs = jnp.arange(K + 1, dtype=jnp.int32)
+                isstop = jnp.isin(cand, stops)
+                stop_at = jnp.min(jnp.where(isstop & (idxs <= m), idxs, K + 1))
+                e = jnp.where(stop_at <= m, stop_at + 1, m + 1)
+                e = jnp.minimum(e, limit - cnt)                    # budget
+                e = jnp.minimum(e, jnp.maximum(1, self.cache_len - 1 - pos))
+                hit = (stop_at <= m) & (stop_at + 1 <= e)
+                out_ = jax.lax.dynamic_update_slice(out_, cand[:, None], (cnt, 0))
+                tok_n = cand[e - 1][None]
+                pos_n = pos + e
+                done_n = hit | (pos_n + 1 >= self.cache_len)
+                return (cnt + e, tok_n, cache_, ids_, pos_n, out_, done_n)
+
+            cnt, tok, cache, ids, pos, out, done = jax.lax.while_loop(
+                cond, body,
+                (jnp.int32(0), token, cache, ids, pos0, out, jnp.bool_(False)))
+            return out, cnt, cache, ids, rng
 
         def decode_n_fn(weights, token, cache, pos0, rng, stops, limit, temp, topp):
             b = token.shape[0]
@@ -171,10 +251,16 @@ class Engine:
                 (jnp.int32(0), token, cache, pos0, rng, out, jnp.bool_(False)))
             return out, i, cache, rng
 
-        progs = (
-            jax.jit(prefill_fn, donate_argnums=(2, 5)),
-            jax.jit(decode_n_fn, donate_argnums=(2, 4)),
-        )
+        if K:
+            progs = (
+                jax.jit(prefill_spec_fn, donate_argnums=(2, 3, 6)),
+                jax.jit(spec_decode_n_fn, donate_argnums=(2, 3, 5)),
+            )
+        else:
+            progs = (
+                jax.jit(prefill_fn, donate_argnums=(2, 5)),
+                jax.jit(decode_n_fn, donate_argnums=(2, 4)),
+            )
         self._progs[greedy] = progs
         return progs
 
@@ -191,12 +277,22 @@ class Engine:
         greedy, temp, topp = self._resolve_sampling(None, None)
         prefill, decode_n = self._programs(greedy)
         with Timer() as t:
-            _, _, cache, self._rng = prefill(
-                self.weights, np.zeros((b, self.prefill_chunk), np.int32),
-                self.cache, np.int32(0), np.int32(0), self._rng, temp, topp)
-            _, _, cache, self._rng = decode_n(
-                self.weights, np.zeros((b,), np.int32), cache, np.int32(0),
-                self._rng, self._stops_array(set()), np.int32(1), temp, topp)
+            if self.spec_k and greedy:
+                _, _, cache, self._ids, self._rng = prefill(
+                    self.weights, np.zeros((b, self.prefill_chunk), np.int32),
+                    self.cache, self._ids, np.int32(0), np.int32(0),
+                    self._rng, temp, topp)
+                _, _, cache, self._ids, self._rng = decode_n(
+                    self.weights, np.ones((b,), np.int32), cache, self._ids,
+                    np.int32(1), self._rng, self._stops_array(set()),
+                    np.int32(1))
+            else:
+                _, _, cache, self._rng = prefill(
+                    self.weights, np.zeros((b, self.prefill_chunk), np.int32),
+                    self.cache, np.int32(0), np.int32(0), self._rng, temp, topp)
+                _, _, cache, self._rng = decode_n(
+                    self.weights, np.zeros((b,), np.int32), cache, np.int32(0),
+                    self._rng, self._stops_array(set()), np.int32(1), temp, topp)
             jax.block_until_ready(self._rng)
         self.metrics.compile_s = t.elapsed
         self.reset()
@@ -228,15 +324,22 @@ class Engine:
         n = len(tokens)
         tok = logits = None
         i = 0
+        spec = bool(self.spec_k and greedy)
         while i < n:
             chunk = tokens[i : i + c]
             r = len(chunk)
             if r < c:  # pad final partial chunk to the next granule
                 chunk = chunk + [0] * (pad_chunk_len(r, c) - r)
             arr = np.asarray([chunk], np.int32)
-            tok, logits, self.cache, self._rng = prefill(
-                self.weights, arr, self.cache, np.int32(start_pos + i),
-                np.int32(r - 1), self._rng, temp, topp)
+            if spec:
+                tok, logits, self.cache, self._ids, self._rng = prefill(
+                    self.weights, arr, self.cache, self._ids,
+                    np.int32(start_pos + i), np.int32(r - 1), self._rng,
+                    temp, topp)
+            else:
+                tok, logits, self.cache, self._rng = prefill(
+                    self.weights, arr, self.cache, np.int32(start_pos + i),
+                    np.int32(r - 1), self._rng, temp, topp)
             i += r
         return tok, logits
 
@@ -250,10 +353,16 @@ class Engine:
         limit = min(limit, self.decode_window, self.cache_len - pos - 1)
         if limit <= 0:
             return []
-        toks, count, self.cache, self._rng = decode_n(
-            self.weights, np.full((self.batch_size,), token, np.int32),
-            self.cache, np.int32(pos), self._rng,
-            self._stops_array(stop_tokens), np.int32(limit), temp, topp)
+        if self.spec_k and greedy:
+            toks, count, self.cache, self._ids, self._rng = decode_n(
+                self.weights, np.full((self.batch_size,), token, np.int32),
+                self.cache, self._ids, np.int32(pos), self._rng,
+                self._stops_array(stop_tokens), np.int32(limit))
+        else:
+            toks, count, self.cache, self._rng = decode_n(
+                self.weights, np.full((self.batch_size,), token, np.int32),
+                self.cache, np.int32(pos), self._rng,
+                self._stops_array(stop_tokens), np.int32(limit), temp, topp)
         # ONE device->host fetch for the whole window (indexing the device
         # array per element costs a full host round trip PER TOKEN — ~30ms
         # each on a remote-attached chip)

@@ -96,7 +96,15 @@ class ChatSession:
             pieces.append(tail)
             if on_text:
                 on_text(tail)
-        self.pos += len(tokens) + len(res.tokens)
+        # the FINAL generated token's KV was never written (decode writes a
+        # token's KV when it is fed back, and generation stops before feeding
+        # the stop token) — re-feed it at the start of the next turn instead
+        # of skipping past an unwritten cache position
+        if res.tokens:
+            self._pending = [res.tokens[-1]] + self._pending
+            self.pos += len(tokens) + len(res.tokens) - 1
+        else:
+            self.pos += len(tokens)
         return "".join(pieces)
 
 

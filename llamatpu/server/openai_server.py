@@ -267,7 +267,8 @@ def serve(args) -> None:
     else:
         engine = Engine(model, impl=args.impl, prefill_chunk=args.prefill_chunk,
                         cache_len=cache_len, cache_dtype=_cache_dtype(args),
-                        mesh=mesh, ep=ep)
+                        mesh=mesh, ep=ep,
+                        spec_decode=getattr(args, "spec_decode", 0))
         service = InferenceService(model, engine,
                                    prefix_cache=not getattr(args, "no_prefix_cache", False))
     model_id = model.metadata.get("general.name", "llamatpu")
