@@ -194,7 +194,9 @@ def decode_attention_q(q, kc, vc, k_scale, v_scale, pos_vec, scale: float,
 # splitKV kernels: online softmax over S tiles, DMA clamped to pos
 # ---------------------------------------------------------------------------
 
-def _split_kernel(pos_pref, *refs, scale, s_tile, stacked, quant):
+def _split_kernel(pos_pref, *refs, scale, s_tile, stacked, quant, hpp=1):
+    # hpp kv heads per program share one grid walk over the S tiles; each
+    # head's online-softmax state lives in its row band of the shared scratch
     if stacked:
         refs = refs[1:]
     if quant:
@@ -202,6 +204,7 @@ def _split_kernel(pos_pref, *refs, scale, s_tile, stacked, quant):
     else:
         q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref = refs
         ks_ref = vs_ref = None
+    g = q_ref.shape[2]
     bi = pl.program_id(0)
     ti = pl.program_id(2)
     nt = pl.num_programs(2)
@@ -218,39 +221,43 @@ def _split_kernel(pos_pref, *refs, scale, s_tile, stacked, quant):
 
     @pl.when(start <= pos)
     def _tile():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[kv_ix + (0,)].astype(jnp.float32)
-        v = v_ref[kv_ix + (0,)].astype(jnp.float32)
-        scores = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        if quant:
-            scores = scores * ks_ref[kv_ix + (0, 0)][None, :]
-        s_idx = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + start
-        scores = jnp.where(s_idx <= pos, scores, NEG_INF)
-        # lanes of m/l are replicated, so a lane-max is a read
-        m_prev = jnp.max(m_ref[...], axis=1, keepdims=True)      # [G, 1]
-        l_prev = jnp.max(l_ref[...], axis=1, keepdims=True)
-        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        e = jnp.exp(scores - m_new)
-        l_new = l_prev * alpha + jnp.sum(e, axis=1, keepdims=True)
-        # v-scale folds into the att.V dot only — NOT the softmax denominator
-        ev = e * vs_ref[kv_ix + (0, 0)][None, :] if quant else e
-        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
-            ev, v, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
-        l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+        for i in range(hpp):
+            band = slice(i * g, (i + 1) * g)
+            q = q_ref[0, i].astype(jnp.float32)
+            k = k_ref[kv_ix + (i,)].astype(jnp.float32)
+            v = v_ref[kv_ix + (i,)].astype(jnp.float32)
+            scores = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            if quant:
+                scores = scores * ks_ref[kv_ix + (i, 0)][None, :]
+            s_idx = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + start
+            scores = jnp.where(s_idx <= pos, scores, NEG_INF)
+            # lanes of m/l are replicated, so a lane-max is a read
+            m_prev = jnp.max(m_ref[band], axis=1, keepdims=True)  # [G, 1]
+            l_prev = jnp.max(l_ref[band], axis=1, keepdims=True)
+            m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            e = jnp.exp(scores - m_new)
+            l_new = l_prev * alpha + jnp.sum(e, axis=1, keepdims=True)
+            # v-scale folds into the att.V dot only — NOT the denominator
+            ev = e * vs_ref[kv_ix + (i, 0)][None, :] if quant else e
+            acc_ref[band] = acc_ref[band] * alpha + jax.lax.dot_general(
+                ev, v, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m_ref[band] = jnp.broadcast_to(m_new, (g, m_ref.shape[1]))
+            l_ref[band] = jnp.broadcast_to(l_new, (g, l_ref.shape[1]))
 
     @pl.when(ti == nt - 1)
     def _finalize():
-        l = jnp.max(l_ref[...], axis=1, keepdims=True)  # >= 1 term (pos >= 0)
-        o_ref[0, 0] = acc_ref[...] / l
+        for i in range(hpp):
+            band = slice(i * g, (i + 1) * g)
+            l = jnp.max(l_ref[band], axis=1, keepdims=True)  # >= 1 term
+            o_ref[0, i] = acc_ref[band] / l
 
 
 def _split_call(q, kc, vc, pos_vec, scale, *, s_tile, interpret, layer_index,
-                k_scale=None, v_scale=None):
+                k_scale=None, v_scale=None, hpp=1):
     b, kv, g, hd = q.shape
     s = kc.shape[-2]
     vhd = vc.shape[-1]
@@ -272,9 +279,9 @@ def _split_call(q, kc, vc, pos_vec, scale, *, s_tile, interpret, layer_index,
         def sc_map(bi, hi, ti, pp, li):
             return (li[0], bi, hi, 0, jnp.minimum(ti, pp[bi] >> shift))
 
-        kb = (1, 1, 1, s_tile, hd)
-        vb = (1, 1, 1, s_tile, vhd)
-        sb = (1, 1, 1, 1, s_tile)
+        kb = (1, 1, hpp, s_tile, hd)
+        vb = (1, 1, hpp, s_tile, vhd)
+        sb = (1, 1, hpp, 1, s_tile)
     else:
         def kv_map(bi, hi, ti, pp):
             return (bi, hi, jnp.minimum(ti, pp[bi] >> shift), 0)
@@ -282,11 +289,11 @@ def _split_call(q, kc, vc, pos_vec, scale, *, s_tile, interpret, layer_index,
         def sc_map(bi, hi, ti, pp):
             return (bi, hi, 0, jnp.minimum(ti, pp[bi] >> shift))
 
-        kb = (1, 1, s_tile, hd)
-        vb = (1, 1, s_tile, vhd)
-        sb = (1, 1, 1, s_tile)
+        kb = (1, hpp, s_tile, hd)
+        vb = (1, hpp, s_tile, vhd)
+        sb = (1, hpp, 1, s_tile)
 
-    in_specs = [pl.BlockSpec((1, 1, g, hd), q_map),
+    in_specs = [pl.BlockSpec((1, hpp, g, hd), q_map),
                 pl.BlockSpec(kb, kv_map), pl.BlockSpec(vb, kv_map)]
     args = [q, kc, vc]
     if quant:
@@ -294,13 +301,13 @@ def _split_call(q, kc, vc, pos_vec, scale, *, s_tile, interpret, layer_index,
         args += [k_scale, v_scale]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=npf,
-        grid=(b, kv, nt),
+        grid=(b, kv // hpp, nt),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, g, vhd), q_map),
+        out_specs=pl.BlockSpec((1, hpp, g, vhd), q_map),
         scratch_shapes=[
-            pltpu.VMEM((g, 128), jnp.float32),
-            pltpu.VMEM((g, 128), jnp.float32),
-            pltpu.VMEM((g, vhd), jnp.float32),
+            pltpu.VMEM((hpp * g, 128), jnp.float32),
+            pltpu.VMEM((hpp * g, 128), jnp.float32),
+            pltpu.VMEM((hpp * g, vhd), jnp.float32),
         ],
     )
     pref = (pos_vec.astype(jnp.int32),)
@@ -308,43 +315,48 @@ def _split_call(q, kc, vc, pos_vec, scale, *, s_tile, interpret, layer_index,
         pref += (jnp.asarray(layer_index, jnp.int32).reshape(1),)
     return pl.pallas_call(
         functools.partial(_split_kernel, scale=scale, s_tile=s_tile,
-                          stacked=stacked, quant=quant),
+                          stacked=stacked, quant=quant, hpp=hpp),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, kv, g, vhd), jnp.float32),
         interpret=interpret,
     )(*pref, *args)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "s_tile", "interpret"))
+@functools.partial(jax.jit, static_argnames=("scale", "s_tile", "interpret", "hpp"))
 def decode_attention_split(q, kc, vc, pos_vec, scale: float,
                            s_tile: int = 1024, interpret: bool = False,
-                           layer_index=None):
+                           layer_index=None, hpp: int | None = None):
     """KV-tiled online-softmax decode attention (splitKV analog). Same
     signature/semantics as `decode_attention`; requires S % s_tile == 0 and
     s_tile a power of two (`//` lowers to a ~20x software divide on TPU)."""
+    kv = q.shape[1]
+    hpp = hpp or _pick_hpp(kv, s_tile, q.shape[3], vc.shape[-1], kc.dtype.itemsize)
     return _split_call(q, kc, vc, pos_vec, scale, s_tile=s_tile,
-                       interpret=interpret, layer_index=layer_index)
+                       interpret=interpret, layer_index=layer_index, hpp=hpp)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "s_tile", "interpret"))
+@functools.partial(jax.jit, static_argnames=("scale", "s_tile", "interpret", "hpp"))
 def decode_attention_split_q(q, kc, vc, k_scale, v_scale, pos_vec, scale: float,
                              s_tile: int = 1024, interpret: bool = False,
-                             layer_index=None):
+                             layer_index=None, hpp: int | None = None):
     """Int8-KV KV-tiled decode attention with the same DMA-clamped block maps
     as `decode_attention_split`."""
+    kv = q.shape[1]
+    hpp = hpp or _pick_hpp(kv, s_tile, q.shape[3], vc.shape[-1], kc.dtype.itemsize)
     return _split_call(q, kc, vc, pos_vec, scale, s_tile=s_tile,
                        interpret=interpret, layer_index=layer_index,
-                       k_scale=k_scale, v_scale=v_scale)
+                       k_scale=k_scale, v_scale=v_scale, hpp=hpp)
 
 
 # ---------------------------------------------------------------------------
 # paged kernel: block-table DMA over the shared pool
 # ---------------------------------------------------------------------------
 
-def _paged_kernel(tables_pref, pos_pref, *refs, scale, s_tile, stacked, quant):
+def _paged_kernel(tables_pref, pos_pref, *refs, scale, s_tile, stacked, quant,
+                  hpp=1):
     del tables_pref  # feeds the index maps only
     _split_kernel(pos_pref, *refs, scale=scale, s_tile=s_tile,
-                  stacked=stacked, quant=quant)
+                  stacked=stacked, quant=quant, hpp=hpp)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
@@ -377,6 +389,7 @@ def decode_attention_paged(q, k_pool, v_pool, tables, pos_vec, scale: float,
     assert bs & (bs - 1) == 0, bs  # clamp uses a shift, not a divide
     shift = bs.bit_length() - 1
     npf = 3 if stacked else 2
+    hpp = _pick_hpp(kv, bs, hd, vhd, k_pool.dtype.itemsize)
 
     def q_map(bi, hi, ti, *pref):
         return (bi, hi, 0, 0)
@@ -386,42 +399,34 @@ def decode_attention_paged(q, k_pool, v_pool, tables, pos_vec, scale: float,
             lj = jnp.minimum(ti, pp[bi] >> shift)
             return (li[0], tp[bi, lj], hi, 0, 0)
 
-        def sc_map(bi, hi, ti, tp, pp, li):
-            lj = jnp.minimum(ti, pp[bi] >> shift)
-            return (li[0], tp[bi, lj], hi, 0, 0)
-
-        kb = (1, 1, 1, bs, hd)
-        vb = (1, 1, 1, bs, vhd)
-        sb = (1, 1, 1, 1, bs)
+        kb = (1, 1, hpp, bs, hd)
+        vb = (1, 1, hpp, bs, vhd)
+        sb = (1, 1, hpp, 1, bs)
     else:
         def kv_map(bi, hi, ti, tp, pp):
             lj = jnp.minimum(ti, pp[bi] >> shift)
             return (tp[bi, lj], hi, 0, 0)
 
-        def sc_map(bi, hi, ti, tp, pp):
-            lj = jnp.minimum(ti, pp[bi] >> shift)
-            return (tp[bi, lj], hi, 0, 0)
+        kb = (1, hpp, bs, hd)
+        vb = (1, hpp, bs, vhd)
+        sb = (1, hpp, 1, bs)
 
-        kb = (1, 1, bs, hd)
-        vb = (1, 1, bs, vhd)
-        sb = (1, 1, 1, bs)
-
-    in_specs = [pl.BlockSpec((1, 1, g, hd), q_map),
+    in_specs = [pl.BlockSpec((1, hpp, g, hd), q_map),
                 pl.BlockSpec(kb, kv_map), pl.BlockSpec(vb, kv_map)]
     args = [q, k_pool, v_pool]
     if quant:
-        in_specs += [pl.BlockSpec(sb, sc_map)] * 2
+        in_specs += [pl.BlockSpec(sb, kv_map)] * 2
         args += [k_scale, v_scale]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=npf,
-        grid=(b, kv, maxblk),
+        grid=(b, kv // hpp, maxblk),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, g, vhd), q_map),
+        out_specs=pl.BlockSpec((1, hpp, g, vhd), q_map),
         scratch_shapes=[
-            pltpu.VMEM((g, 128), jnp.float32),
-            pltpu.VMEM((g, 128), jnp.float32),
-            pltpu.VMEM((g, vhd), jnp.float32),
+            pltpu.VMEM((hpp * g, 128), jnp.float32),
+            pltpu.VMEM((hpp * g, 128), jnp.float32),
+            pltpu.VMEM((hpp * g, vhd), jnp.float32),
         ],
     )
     pref = (tables.astype(jnp.int32), pos_vec.astype(jnp.int32))
@@ -429,7 +434,7 @@ def decode_attention_paged(q, k_pool, v_pool, tables, pos_vec, scale: float,
         pref += (jnp.asarray(layer_index, jnp.int32).reshape(1),)
     return pl.pallas_call(
         functools.partial(_paged_kernel, scale=scale, s_tile=bs,
-                          stacked=stacked, quant=quant),
+                          stacked=stacked, quant=quant, hpp=hpp),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, kv, g, vhd), jnp.float32),
         interpret=interpret,

@@ -122,25 +122,53 @@ def paged_write_scale(spool, snew, tables, pos_vec, block_size):
 
 
 def paged_write_stacked(pool, li, new, tables, pos_vec, block_size):
-    """Scatter into the STACKED pool [L, NBLK, KV, BS, hd] at layer li
+    """Write into the STACKED pool [L, NBLK, KV, BS, hd] at layer li
     (carry-form scan — see models/transformer.make_layer_fn). new: [B, T, KV,
-    hd]; tables: [B, MAXBLK]; pos_vec: [B]."""
+    hd]; tables: [B, MAXBLK]; pos_vec: [B].
+
+    Decode (T == 1) uses one dynamic_update_slice per lane through the
+    flattened [L*NBLK, ...] view — XLA's TPU scatter op takes ~600 us to write
+    a handful of rows (measured), while dus with a computed start is cheap.
+    Prefill windows (T > 1, amortized over the chunk) keep the scatter."""
     b, t, kv, hd = new.shape
-    positions = pos_vec[:, None] + jnp.arange(t)[None, :]
-    blks = jnp.take_along_axis(tables, positions // block_size, axis=1)
-    offs = positions % block_size
-    return pool.at[li, blks.reshape(-1), :, offs.reshape(-1), :].set(
-        new.reshape(b * t, kv, hd).astype(pool.dtype))
+    l, nblk = pool.shape[:2]
+    shift = block_size.bit_length() - 1
+    flat = pool.reshape((l * nblk,) + pool.shape[2:])
+    if t == 1:
+        for bi in range(b):
+            blk = li * nblk + tables[bi, pos_vec[bi] >> shift]
+            off = pos_vec[bi] & (block_size - 1)
+            flat = jax.lax.dynamic_update_slice(
+                flat, new[bi, 0][None, :, None, :].astype(pool.dtype),
+                (blk, 0, off, 0))
+    else:
+        positions = pos_vec[:, None] + jnp.arange(t)[None, :]
+        blks = jnp.take_along_axis(tables, positions >> shift, axis=1)
+        offs = positions & (block_size - 1)
+        flat = flat.at[(li * nblk + blks).reshape(-1), :, offs.reshape(-1), :].set(
+            new.reshape(b * t, kv, hd).astype(pool.dtype))
+    return flat.reshape(pool.shape)
 
 
 def paged_write_scale_stacked(spool, li, snew, tables, pos_vec, block_size):
     """snew [B, T, KV] -> stacked scale pool [L, NBLK, KV, 1, BS] at layer li."""
     b, t, kv = snew.shape
-    positions = pos_vec[:, None] + jnp.arange(t)[None, :]
-    blks = jnp.take_along_axis(tables, positions // block_size, axis=1)
-    offs = positions % block_size
-    return spool.at[li, blks.reshape(-1), :, 0, offs.reshape(-1)].set(
-        snew.reshape(b * t, kv))
+    l, nblk = spool.shape[:2]
+    shift = block_size.bit_length() - 1
+    flat = spool.reshape((l * nblk,) + spool.shape[2:])
+    if t == 1:
+        for bi in range(b):
+            blk = li * nblk + tables[bi, pos_vec[bi] >> shift]
+            off = pos_vec[bi] & (block_size - 1)
+            flat = jax.lax.dynamic_update_slice(
+                flat, snew[bi, 0][None, :, None, None], (blk, 0, 0, off))
+    else:
+        positions = pos_vec[:, None] + jnp.arange(t)[None, :]
+        blks = jnp.take_along_axis(tables, positions >> shift, axis=1)
+        offs = positions & (block_size - 1)
+        flat = flat.at[(li * nblk + blks).reshape(-1), :, 0, offs.reshape(-1)].set(
+            snew.reshape(b * t, kv))
+    return flat.reshape(spool.shape)
 
 
 def paged_gather_scale(spool, tables):
