@@ -31,6 +31,10 @@ def build_parser() -> argparse.ArgumentParser:
                         default="auto",
                         help="KV cache dtype; int8 halves cache HBM "
                              "(per-token-head scales, ops/kv_quant.py)")
+        sp.add_argument("--pack4", action="store_true",
+                        help="store Q4_0 weights as packed nibbles: half the "
+                             "HBM footprint, same decode speed (the chip is "
+                             "value-rate-bound; fits e.g. Qwen1.5-MoE on one chip)")
         sp.add_argument("--prefill-chunk", type=int, default=128)
         sp.add_argument("--seed", type=int, default=42)
         sp.add_argument("--metrics-format", choices=["human", "json", "github", "none"],
@@ -118,7 +122,7 @@ def _load(args, max_tokens=None):
     dtype = jnp.float32 if args.dtype == "f32" else jnp.bfloat16
     with Timer() as t:
         model = load_model(args.model, max_tokens=max_tokens or args.max_tokens,
-                           param_dtype=dtype)
+                           param_dtype=dtype, pack4=getattr(args, "pack4", False))
     metrics.load_s = t.elapsed
     return model, metrics, dtype
 

@@ -164,8 +164,12 @@ class LoadedModel:
 
 def load_model(path: str, max_tokens: int = 0, mode: str = "quant",
                param_dtype=jnp.bfloat16, device_put: bool = True,
-               load_tokenizer: bool = True) -> LoadedModel:
-    """Load a GGUF checkpoint into a config + stacked weights pytree."""
+               load_tokenizer: bool = True, pack4: bool = False) -> LoadedModel:
+    """Load a GGUF checkpoint into a config + stacked weights pytree.
+
+    pack4: store Q4_0 tensors as packed nibbles (half the HBM footprint,
+    same decode speed — the chip is value-rate-bound). Non-Q4_0 tensors
+    are unaffected."""
     reader = GGUFReader(path)
     md = reader.metadata
     family = detect_family(md)
@@ -236,7 +240,7 @@ def load_model(path: str, max_tokens: int = 0, mode: str = "quant",
         # lane-align out-features + interleave columns for the Pallas matmul;
         # consumers slice via QTensor.logical_out, dequant/int8 paths
         # deinterleave (models/weights.py)
-        return prepare_qtensor(w) if isinstance(w, QTensor) else w
+        return prepare_qtensor(w, pack4=pack4) if isinstance(w, QTensor) else w
 
     stacked = {k: _pad(_stack([l[k] for l in layers])) for k in layers[0]}
 

@@ -76,7 +76,8 @@ def _rand_dense(rng, shape, dtype):
 
 def build_synthetic_model(preset: str, quant: str = "q8_0", seed: int = 0,
                           dtype: str = "bf16", context_length: int | None = None,
-                          n_layers: int | None = None) -> LoadedModel:
+                          n_layers: int | None = None,
+                          pack4: bool = False) -> LoadedModel:
     kw = dict(PRESETS[preset])
     if context_length:
         kw["context_length"] = context_length
@@ -87,7 +88,8 @@ def build_synthetic_model(preset: str, quant: str = "q8_0", seed: int = 0,
 
     def mat(out_dim, in_dim):
         if quant in ("q8_0", "q4_0"):
-            return prepare_qtensor(_rand_qtensor(rng, (cfg.n_layers, out_dim, in_dim), quant))
+            return prepare_qtensor(_rand_qtensor(rng, (cfg.n_layers, out_dim, in_dim), quant),
+                                   pack4=pack4)
         return _rand_dense(rng, (cfg.n_layers, out_dim, in_dim), dtype)
 
     layers = {
@@ -115,7 +117,7 @@ def build_synthetic_model(preset: str, quant: str = "q8_0", seed: int = 0,
         def emat(out_dim, in_dim):
             shape = (cfg.n_layers, cfg.n_experts, out_dim, in_dim)
             if quant in ("q8_0", "q4_0"):
-                return prepare_qtensor(_rand_qtensor(rng, shape, quant))
+                return prepare_qtensor(_rand_qtensor(rng, shape, quant), pack4=pack4)
             return _rand_dense(rng, shape, dtype)
 
         del layers["w1"], layers["w2"], layers["w3"]
@@ -129,7 +131,7 @@ def build_synthetic_model(preset: str, quant: str = "q8_0", seed: int = 0,
         layers["shared_gate_inp"] = _rand_dense(rng, (cfg.n_layers, cfg.dim), "f32")
 
     cos, sin = precompute_rope_tables(cfg)
-    wcls = (prepare_qtensor(_rand_qtensor(rng, (cfg.vocab_size, cfg.dim), quant))
+    wcls = (prepare_qtensor(_rand_qtensor(rng, (cfg.vocab_size, cfg.dim), quant), pack4=pack4)
             if quant in ("q8_0", "q4_0")
             else _rand_dense(rng, (cfg.vocab_size, cfg.dim), dtype))
     weights = {

@@ -38,11 +38,19 @@ class QTensor:
     kind: str = "q8_0"  # "q8_0" | "q4_0" (affects only provenance/bit width)
     logical_out: int = 0  # real out-features when rows were padded to a lane
                           # multiple (e.g. Phi-3's 32064-row vocab head); 0 = full
-    layout: str = "canonical"  # "canonical" | "interleaved" — interleaved stores
-                               # column j as original (j % NB)*32 + j//NB so the
-                               # Pallas kernel's scale expansion is a lane-tiled
-                               # repeat instead of an in-VMEM matmul (~30% decode
-                               # win); activations are permuted to match per call
+    layout: str = "canonical"  # "canonical" | "interleaved" | "packed4"
+                               # interleaved stores column j as original
+                               # (j % NB)*32 + j//NB so the Pallas kernel's scale
+                               # expansion is a lane-tiled repeat instead of an
+                               # in-VMEM matmul (~30% decode win); activations
+                               # are permuted to match per call.
+                               # packed4 = interleaved + two 4-bit values per
+                               # byte (Q4_0 only): byte c of row o holds
+                               # interleaved columns c (low nibble) and
+                               # c + in//2 (high nibble) — qs is [..., out, in//2].
+                               # Halves the HBM footprint; decode speed is
+                               # unchanged (the chip is value-rate-bound, see
+                               # scripts/stream_diag.py 2026-08-18).
 
     @property
     def shape(self):
@@ -52,12 +60,16 @@ class QTensor:
         """Materialize the full-precision matrix in CANONICAL column order
         (XLA fallback path / tests)."""
         qs = self.qs
-        if self.layout == "interleaved":
+        if self.layout == "packed4":
+            qs = deinterleave_columns(unpack4_columns(qs))
+        elif self.layout == "interleaved":
             qs = deinterleave_columns(qs)
         s = jnp.repeat(self.scales.astype(dtype), BLOCK, axis=-1)
         return qs.astype(dtype) * s
 
     def canonical_qs(self) -> jax.Array:
+        if self.layout == "packed4":
+            return deinterleave_columns(unpack4_columns(self.qs))
         return deinterleave_columns(self.qs) if self.layout == "interleaved" else self.qs
 
 
@@ -79,6 +91,23 @@ def deinterleave_columns(qs):
     x = qs.reshape(*lead, o, BLOCK, nb)
     x = jnp.swapaxes(x, -1, -2) if not isinstance(qs, np.ndarray) else np.swapaxes(x, -1, -2)
     return x.reshape(*lead, o, i)
+
+
+def pack4_columns(qs: np.ndarray) -> np.ndarray:
+    """Interleaved int8 values in [-8, 7] -> packed nibbles [..., out, in//2]:
+    byte c = (col c) | (col c + in//2) << 4. Load-time, numpy."""
+    half = qs.shape[-1] // 2
+    lo = np.asarray(qs[..., :half]).astype(np.uint8) & 0x0F
+    hi = np.asarray(qs[..., half:]).astype(np.uint8) & 0x0F
+    return np.ascontiguousarray(lo | (hi << 4)).view(np.int8)
+
+
+def unpack4_columns(qp) -> jnp.ndarray:
+    """Packed nibbles -> interleaved int8 (sign-extended)."""
+    p = jnp.asarray(qp).astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(p, 28), 28)
+    hi = jnp.right_shift(p, 4)
+    return jnp.concatenate([lo, hi], axis=-1).astype(jnp.int8)
 
 
 def interleave_activation(x2):
@@ -130,13 +159,18 @@ def pad_qtensor_rows(w: QTensor, multiple: int = 128) -> QTensor:
     return QTensor(qs, scales, w.kind, logical_out=o, layout=w.layout)
 
 
-def prepare_qtensor(w: QTensor) -> QTensor:
+def prepare_qtensor(w: QTensor, pack4: bool = False) -> QTensor:
     """Load-time prep for the Pallas path: lane-pad rows + interleave columns
-    (numpy, one-time)."""
+    (numpy, one-time). With pack4 (Q4_0 only), additionally pack nibble pairs
+    across column halves — half the HBM footprint, same decode speed
+    (value-rate-bound chip)."""
     w = pad_qtensor_rows(w)
-    if w.layout == "interleaved":
+    if w.layout != "canonical":
         return w
     qs = interleave_columns(np.asarray(w.qs))
+    if pack4 and w.kind == "q4_0":
+        return QTensor(pack4_columns(qs), w.scales, w.kind, w.logical_out,
+                       layout="packed4")
     return QTensor(qs, w.scales, w.kind, w.logical_out, layout="interleaved")
 
 

@@ -104,6 +104,27 @@ def _gkernel(te_ref, x_ref, w_ref, s_ref, o_ref, *, dot_dtype, interleaved):
         o_ref[:] = jnp.zeros_like(o_ref)
 
 
+def _gkernel_packed4(te_ref, xl_ref, xh_ref, w_ref, s_ref, o_ref, *, dot_dtype):
+    from llamatpu.ops.pallas_matmul import unpack4_halves
+
+    mi = pl.program_id(0)
+    active = te_ref[mi] >= 0
+
+    @pl.when(active)
+    def _():
+        wl, wh = unpack4_halves(w_ref[0], s_ref[0], dot_dtype)
+        dn = (((1,), (1,)), ((), ()))
+        o_ref[:] = (
+            jax.lax.dot_general(xl_ref[:].astype(dot_dtype), wl, dn,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(xh_ref[:].astype(dot_dtype), wh, dn,
+                                  preferred_element_type=jnp.float32))
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+
 def _gkernel_dense(te_ref, x_ref, w_ref, o_ref, *, dot_dtype):
     mi = pl.program_id(0)
     active = te_ref[mi] >= 0
@@ -121,34 +142,54 @@ def _gkernel_dense(te_ref, x_ref, w_ref, o_ref, *, dot_dtype):
         o_ref[:] = jnp.zeros_like(o_ref)
 
 
-def _pick_to(o: int, i: int, quant: bool) -> int:
+def _pick_to(o: int, i: int, wbytes: float) -> int:
     budget = 8 * 1024 * 1024
     for to in (512, 256, 128):
-        if o % to == 0 and 2 * (to * i * (1 if quant else 2) + to * 4 * (i // BLOCK)) <= budget:
+        if o % to == 0 and 2 * (to * int(i * wbytes) + to * 4 * (i // BLOCK)) <= budget:
             return to
     return o
 
 
-@functools.partial(jax.jit, static_argnames=("tm", "interpret", "interleaved"))
-def _grouped_matmul_q(qs, scales, x_sorted, tile_expert, tm, interpret, interleaved):
-    e, o, i = qs.shape
+@functools.partial(jax.jit, static_argnames=("tm", "interpret", "layout"))
+def _grouped_matmul_q(qs, scales, x_sorted, tile_expert, tm, interpret, layout):
+    packed = layout == "packed4"
+    e, o, wi = qs.shape
+    i = wi * 2 if packed else wi
     mp = x_sorted.shape[0]
-    to = _pick_to(o, i, True)
+    to = _pick_to(o, i, 0.5 if packed else 1)
     dot_dtype = jnp.float32 if x_sorted.dtype == jnp.float32 else jnp.bfloat16
+    w_specs = [
+        pl.BlockSpec((1, to, wi),
+                     lambda mi, oi, te: (jnp.maximum(te[mi], 0), oi, 0)),
+        pl.BlockSpec((1, to, i // BLOCK),
+                     lambda mi, oi, te: (jnp.maximum(te[mi], 0), oi, 0)),
+    ]
+    if packed:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(mp // tm, o // to),
+            in_specs=[
+                pl.BlockSpec((tm, i // 2), lambda mi, oi, te: (mi, 0)),
+                pl.BlockSpec((tm, i // 2), lambda mi, oi, te: (mi, 0)),
+                *w_specs,
+            ],
+            out_specs=pl.BlockSpec((tm, to), lambda mi, oi, te: (mi, oi)),
+        )
+        return pl.pallas_call(
+            functools.partial(_gkernel_packed4, dot_dtype=dot_dtype),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((mp, o), jnp.float32),
+            interpret=interpret,
+        )(tile_expert, x_sorted[:, : i // 2], x_sorted[:, i // 2:], qs, scales)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(mp // tm, o // to),
-        in_specs=[
-            pl.BlockSpec((tm, i), lambda mi, oi, te: (mi, 0)),
-            pl.BlockSpec((1, to, i),
-                         lambda mi, oi, te: (jnp.maximum(te[mi], 0), oi, 0)),
-            pl.BlockSpec((1, to, i // BLOCK),
-                         lambda mi, oi, te: (jnp.maximum(te[mi], 0), oi, 0)),
-        ],
+        in_specs=[pl.BlockSpec((tm, i), lambda mi, oi, te: (mi, 0)), *w_specs],
         out_specs=pl.BlockSpec((tm, to), lambda mi, oi, te: (mi, oi)),
     )
     return pl.pallas_call(
-        functools.partial(_gkernel, dot_dtype=dot_dtype, interleaved=interleaved),
+        functools.partial(_gkernel, dot_dtype=dot_dtype,
+                          interleaved=(layout == "interleaved")),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((mp, o), jnp.float32),
         interpret=interpret,
@@ -159,7 +200,7 @@ def _grouped_matmul_q(qs, scales, x_sorted, tile_expert, tm, interpret, interlea
 def _grouped_matmul_dense(w, x_sorted, tile_expert, tm, interpret):
     e, o, i = w.shape
     mp = x_sorted.shape[0]
-    to = _pick_to(o, i, False)
+    to = _pick_to(o, i, 2)
     dot_dtype = jnp.float32 if x_sorted.dtype == jnp.float32 else jnp.bfloat16
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -186,12 +227,12 @@ def grouped_matmul(w, x_sorted, tile_expert, tm: int, interpret: bool | None = N
         interpret = jax.default_backend() != "tpu"
     if isinstance(w, QTensor):
         x = x_sorted
-        if w.layout == "interleaved":
+        if w.layout != "canonical":
             from llamatpu.models.weights import interleave_activation
 
             x = interleave_activation(x_sorted)
         return _grouped_matmul_q(w.qs, w.scales, x, tile_expert, tm, interpret,
-                                 w.layout == "interleaved")
+                                 w.layout)
     return _grouped_matmul_dense(w, x_sorted, tile_expert, tm, interpret)
 
 

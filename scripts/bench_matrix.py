@@ -13,16 +13,21 @@ sys.path.insert(0, ".")
 
 
 def bench_preset(name: str, quant: str = "q8_0", pp: int = 512, tg: int = 128):
-    """Preset may carry a quant suffix, e.g. llama3-8b:q4_0."""
+    """Preset may carry a quant suffix, e.g. llama3-8b:q4_0 or :q4_0p
+    (trailing p = packed nibbles, half HBM)."""
     if ":" in name:
         name, quant = name.split(":")
+    pack4 = quant.endswith("p")
+    if pack4:
+        quant = quant[:-1]
     import numpy as np
 
     from llamatpu.models.synthetic import build_synthetic_model
     from llamatpu.runtime.engine import Engine
 
     print(f"# {name}: building weights...", file=sys.stderr, flush=True)
-    model = build_synthetic_model(name, quant=quant, context_length=1024)
+    model = build_synthetic_model(name, quant=quant, context_length=1024,
+                                  pack4=pack4)
     print(f"# {name}: engine init (upload + compile)...", file=sys.stderr, flush=True)
     engine = Engine(model, cache_len=1024, prefill_chunk=512, temperature=0.0,
                     decode_window=128, impl="pallas", aot_compile=True)
@@ -47,7 +52,7 @@ def bench_preset(name: str, quant: str = "q8_0", pp: int = 512, tg: int = 128):
         n += len(w)
     tg_s = time.perf_counter() - t0
     del engine
-    return {"model": name, "quant": quant,
+    return {"model": name, "quant": quant + ("p" if pack4 else ""),
             "decode_tok_s": round(n / tg_s, 1),
             "prefill_tok_s": round(pp / pp_s, 1)}
 

@@ -83,3 +83,22 @@ def test_moe_prefill_forward_grouped_vs_oracle(tmp_path):
         want = orc.forward(tok, pos)
     np.testing.assert_allclose(np.asarray(logits[0, -1]), want,
                                rtol=5e-3, atol=5e-3)
+
+
+def test_grouped_packed4_matches_scan(tmp_path):
+    from llamatpu.models.transformer import _moe_ffn
+
+    path = tmp_path / "moe_q4p.gguf"
+    tiny_models.build_tiny_gguf(path, family="qwen2moe", quant=GGMLType.Q4_0, seed=5)
+    model = mloader.load_model(str(path), mode="quant", param_dtype=jnp.float32,
+                               load_tokenizer=False, pack4=True)
+    cfg = model.cfg
+    lw = jax.tree.map(lambda a: a[0], model.weights["layers"])
+    assert lw["gate_exps"].layout == "packed4"
+
+    rng = np.random.default_rng(7)
+    h = jnp.asarray(rng.standard_normal((1, 33, cfg.dim)) * 0.3, jnp.float32)
+    want = _moe_ffn(cfg, h, lw, "xla")      # dequant reference
+    got = _moe_ffn(cfg, h, lw, "pallas")    # grouped kernel, packed weights
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)

@@ -55,3 +55,52 @@ def test_engine_pallas_impl_matches_oracle(tmp_path):
                                        jnp.array([[tok]], jnp.int32), cache, pos,
                                        impl="pallas", last_logit_only=True)
         np.testing.assert_allclose(np.asarray(logits[0]), want, rtol=5e-3, atol=5e-3)
+
+
+def make_q4(o, i, seed=0, pack4=True):
+    from llamatpu.models.weights import prepare_qtensor
+
+    rng = np.random.default_rng(seed)
+    qs = rng.integers(-8, 8, (o, i), dtype=np.int8)
+    scales = (rng.random((o, i // 32)).astype(np.float32) * 0.02 + 0.001)
+    return prepare_qtensor(QTensor(qs, scales, "q4_0"), pack4=pack4)
+
+
+def test_pack4_roundtrip():
+    wp = make_q4(64, 96, seed=3)
+    wi = make_q4(64, 96, seed=3, pack4=False)
+    # rows lane-pad 64 -> 128; columns pack 96 -> 48
+    assert wp.layout == "packed4" and wp.qs.shape == (128, 48)
+    np.testing.assert_array_equal(np.asarray(wp.dequant()), np.asarray(wi.dequant()))
+    np.testing.assert_array_equal(np.asarray(wp.canonical_qs()),
+                                  np.asarray(wi.canonical_qs()))
+
+
+@pytest.mark.parametrize("o,i,t", [(64, 64, 1), (128, 256, 1), (256, 1408, 5)])
+def test_packed4_matches_dequant_reference(o, i, t):
+    w = make_q4(o, i, seed=o + i)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((t, i)), jnp.float32)
+    y = quant_matmul_pallas(w, x, interpret=True)
+    ref = x @ w.dequant(jnp.float32).T
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_engine_pack4_matches_unpacked(tmp_path):
+    """Full forward with packed4 Q4_0 weights == same checkpoint unpacked."""
+    import tiny_models
+    from llamatpu.gguf import GGMLType
+    from llamatpu.models import loader as mloader
+    from llamatpu.models.transformer import forward_tokens, init_cache
+
+    path = tmp_path / "m4.gguf"
+    tiny_models.build_tiny_gguf(path, family="llama", quant=GGMLType.Q4_0, seed=9)
+    toks = jnp.array([[3, 17, 42]], jnp.int32)
+    outs = []
+    for pack4 in (False, True):
+        model = mloader.load_model(str(path), mode="quant", param_dtype=jnp.float32,
+                                   load_tokenizer=False, pack4=pack4)
+        cache = init_cache(model.cfg, 1, jnp.float32)
+        logits, _ = forward_tokens(model.cfg, model.weights, toks, cache, 0,
+                                   impl="pallas", last_logit_only=True)
+        outs.append(np.asarray(logits))
+    np.testing.assert_allclose(outs[1], outs[0], rtol=1e-5, atol=1e-5)
