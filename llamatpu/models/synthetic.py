@@ -59,8 +59,14 @@ PRESETS: dict[str, dict] = {
 
 def _rand_qtensor(rng: np.random.Generator, shape: tuple[int, ...],
                   kind: str = "q8_0") -> QTensor:
-    lo, hi = (-8, 8) if kind == "q4_0" else (-127, 128)
-    qs = rng.integers(lo, hi, size=shape, dtype=np.int8)
+    # raw-bytes generation: ~20x faster than rng.integers for the multi-GB
+    # MoE expert tensors (values need only be in-range, not perfectly uniform)
+    n = int(np.prod(shape))
+    raw = np.frombuffer(rng.bytes(n), dtype=np.uint8)
+    if kind == "q4_0":
+        qs = ((raw & 0x0F).astype(np.int8) - 8).reshape(shape)
+    else:
+        qs = np.maximum(raw.view(np.int8), -127).reshape(shape)
     scales = (rng.random(size=(*shape[:-1], shape[-1] // 32), dtype=np.float32)
               * 0.001 + 0.0005)
     return QTensor(qs, scales, kind)

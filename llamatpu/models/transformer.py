@@ -135,7 +135,11 @@ def _index_qtensor(w, i):
     return w[i]
 
 
-GROUPED_MOE_MIN_TOKENS = 16  # below this the per-token scan is cheaper
+# The grouped ragged kernel serves ALL pallas MoE shapes, decode included:
+# at N=1/top-4 it runs 4 m-tiles of tm=8 (one kernel per projection) vs the
+# per-token scan's 12 sequential gathered GEMVs — measured 19.2 -> see
+# STATUS.md tok/s on Qwen1.5-MoE. The scan path remains for impl="xla"
+# (numerics reference on CPU).
 
 
 def _moe_ffn(cfg: ModelConfig, h, lw, impl, ep_mesh=None):
@@ -143,11 +147,11 @@ def _moe_ffn(cfg: ModelConfig, h, lw, impl, ep_mesh=None):
     renormalization (norm_topk_prob=false), plus an always-on shared expert
     gated by sigmoid(shared_gate_inp · h) (InferenceCore.java:366-415).
 
-    Prefill windows (N >= GROUPED_MOE_MIN_TOKENS, pallas impl) run the routed
-    experts through the grouped ragged matmul (ops/moe_grouped.py) instead of
-    the per-token scan; both compute identical math. With ep_mesh set, expert
-    weights are sharded whole-expert over "tp" and ALL routed compute runs
-    under shard_map (parallel/expert.py)."""
+    The pallas impl runs the routed experts through the grouped ragged
+    matmul (ops/moe_grouped.py) at every N, decode included; the per-token
+    scan remains as the xla-impl reference — both compute identical math.
+    With ep_mesh set, expert weights are sharded whole-expert over "tp" and
+    ALL routed compute runs under shard_map (parallel/expert.py)."""
     b, t, d = h.shape
     hf = h.reshape(b * t, d)
     router_logits = matmul(lw["router"], hf, impl).astype(jnp.float32)  # [N, E]
@@ -162,10 +166,11 @@ def _moe_ffn(cfg: ModelConfig, h, lw, impl, ep_mesh=None):
                                          tm=tm).astype(h.dtype)
         return _moe_shared(cfg, h, hf, routed, lw, impl)
 
-    if impl == "pallas" and b * t >= GROUPED_MOE_MIN_TOKENS:
+    if impl == "pallas":
         from llamatpu.ops.moe_grouped import moe_ffn_grouped
 
-        tm = 128 if b * t * cfg.n_experts_used >= 1024 else 32
+        nk = b * t * cfg.n_experts_used
+        tm = 128 if nk >= 1024 else (8 if nk <= 64 else 32)
         routed = moe_ffn_grouped(cfg, hf, top_w, top_i, lw, tm=tm).astype(h.dtype)
         return _moe_shared(cfg, h, hf, routed, lw, impl)
 

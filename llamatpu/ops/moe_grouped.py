@@ -37,45 +37,62 @@ BLOCK = 32  # ggml quant block (scale group) size
 # ----------------------------------------------------------------- routing
 def sort_by_expert(top_i, n_experts: int, tm: int):
     """Flatten + sort the [N, k] routing into expert-contiguous, tile-aligned
-    rows. Returns (row_token [Mp], dest [N*k], tile_expert [Mp//tm]) where
-    Mp = N*k + E*tm (static upper bound; unused rows map to token N = the
-    zero pad row and weight 0)."""
+    rows. Returns (row_token [Mp], row_src [Mp], tile_expert [Mp//tm]) where
+    Mp = roundup(N*k + min(N*k, E)*(tm-1), tm) — the tight static bound: at
+    most min(N*k, E) experts are used and each wastes <= tm-1 pad rows.
+    (The earlier N*k + E*tm bound made DECODE catastrophic: top-4 over 60
+    experts padded 4 real rows to 488, and the ~57 all-padding tail tiles
+    each re-streamed weight blocks.) row_src maps each padded row back to its
+    ORIGINAL assignment index in [0, N*k) (N*k = padding); row_token to its
+    token (N = the zero pad row). Tiles past the last group carry
+    tile_expert = -1 (inactive: kernels skip the dot and zero the rows).
+
+    Deliberately SCATTER-FREE: every array is built with sort, searchsorted,
+    cumsum and gathers — XLA's TPU scatter lowers to a sequential per-update
+    loop (measured ~600us for 8 rows on the paged-KV path) and was the
+    dominant cost of MoE decode in the earlier formulation."""
     n, k = top_i.shape
     nk = n * k
-    mp = -(-nk // tm) * tm + n_experts * tm  # multiple of tm (grid exactness)
+    mp = -(-(nk + min(nk, n_experts) * (tm - 1)) // tm) * tm
     eid = top_i.reshape(nk).astype(jnp.int32)
-    tok = jnp.arange(nk, dtype=jnp.int32) // k
 
-    sort_idx = jnp.argsort(eid, stable=True)
+    sort_idx = jnp.argsort(eid, stable=True).astype(jnp.int32)
     eid_s = eid[sort_idx]
-    tok_s = tok[sort_idx]
 
-    counts = jnp.bincount(eid, length=n_experts)               # [E]
+    # per-expert group starts/counts from the sorted ids (no bincount scatter)
+    starts = jnp.searchsorted(eid_s, jnp.arange(n_experts, dtype=jnp.int32),
+                              side="left").astype(jnp.int32)          # [E]
+    counts = jnp.concatenate([starts[1:], jnp.array([nk], jnp.int32)]) - starts
     padded = -(-counts // tm) * tm                             # tile-aligned
-    cnt_excl = jnp.cumsum(counts) - counts                     # group starts, sorted order
     grp_start = jnp.cumsum(padded) - padded                    # group starts, padded rows
     j = jnp.arange(nk, dtype=jnp.int32)
-    dest_sorted = (grp_start[eid_s] + (j - cnt_excl[eid_s])).astype(jnp.int32)
-    # re-key to ORIGINAL assignment order so callers can scatter per-assignment
-    # values (routing weights) without re-sorting them
-    dest = jnp.zeros((nk,), jnp.int32).at[sort_idx].set(dest_sorted)
+    # strictly increasing: groups in expert order, offsets within each group
+    dest_sorted = grp_start[eid_s] + (j - starts[eid_s])
 
-    row_token = jnp.full((mp,), n, jnp.int32).at[dest_sorted].set(tok_s)
+    # invert dest_sorted by binary search instead of scattering into rows
+    r = jnp.arange(mp, dtype=jnp.int32)
+    jj = jnp.minimum(jnp.searchsorted(dest_sorted, r).astype(jnp.int32), nk - 1)
+    hit = dest_sorted[jj] == r
+    src = sort_idx[jj]
+    row_src = jnp.where(hit, src, nk).astype(jnp.int32)
+    row_token = jnp.where(hit, src // k, n).astype(jnp.int32)
 
     ends = jnp.cumsum(padded)                                  # padded group ends
-    tile_expert = jnp.searchsorted(ends, jnp.arange(mp // tm) * tm,
+    tile_start = jnp.arange(mp // tm) * tm
+    tile_expert = jnp.searchsorted(ends, tile_start,
                                    side="right").astype(jnp.int32)
-    tile_expert = jnp.minimum(tile_expert, n_experts - 1)      # tail tiles clamp
-    return row_token, dest, tile_expert
+    tile_expert = jnp.minimum(tile_expert, n_experts - 1)
+    tile_expert = jnp.where(tile_start < ends[-1], tile_expert, -1)  # tail = inactive
+    return row_token, row_src, tile_expert
 
 
 # ----------------------------------------------------------------- kernel
-def _gkernel(te_ref, x_ref, w_ref, s_ref, o_ref, *, dot_dtype, interleaved):
+def _gkernel(te_ref, x_ref, w_ref, s_ref, o_ref, *, dot_dtype, interleaved, mdim=0):
     # tile_expert < 0 marks an INACTIVE tile (expert-parallel: assignments
     # belonging to other devices): skip the dot entirely — the index maps
     # clamp to block 0 so no new weight DMA is issued either, and the output
     # rows are zeroed (their routing weights are 0 anyway).
-    mi = pl.program_id(0)
+    mi = pl.program_id(mdim)
     active = te_ref[mi] >= 0
 
     @pl.when(active)
@@ -104,10 +121,10 @@ def _gkernel(te_ref, x_ref, w_ref, s_ref, o_ref, *, dot_dtype, interleaved):
         o_ref[:] = jnp.zeros_like(o_ref)
 
 
-def _gkernel_packed4(te_ref, xl_ref, xh_ref, w_ref, s_ref, o_ref, *, dot_dtype):
+def _gkernel_packed4(te_ref, xl_ref, xh_ref, w_ref, s_ref, o_ref, *, dot_dtype, mdim=0):
     from llamatpu.ops.pallas_matmul import unpack4_halves
 
-    mi = pl.program_id(0)
+    mi = pl.program_id(mdim)
     active = te_ref[mi] >= 0
 
     @pl.when(active)
@@ -125,8 +142,8 @@ def _gkernel_packed4(te_ref, xl_ref, xh_ref, w_ref, s_ref, o_ref, *, dot_dtype):
         o_ref[:] = jnp.zeros_like(o_ref)
 
 
-def _gkernel_dense(te_ref, x_ref, w_ref, o_ref, *, dot_dtype):
-    mi = pl.program_id(0)
+def _gkernel_dense(te_ref, x_ref, w_ref, o_ref, *, dot_dtype, mdim=0):
+    mi = pl.program_id(mdim)
     active = te_ref[mi] >= 0
 
     @pl.when(active)
@@ -150,74 +167,91 @@ def _pick_to(o: int, i: int, wbytes: float) -> int:
     return o
 
 
-@functools.partial(jax.jit, static_argnames=("tm", "interpret", "layout"))
-def _grouped_matmul_q(qs, scales, x_sorted, tile_expert, tm, interpret, layout):
+def _specs(tm, to, m_fastest):
+    """Grid + index maps for both iteration orders.
+
+    Default (oi fastest): the x block is constant over each m-tile's oi-run —
+    right for prefill where x tiles are large. m_fastest (decode/tiny Mp):
+    consecutive programs share oi, so runs of INACTIVE tiles (clamped to
+    weight block 0) keep an identical weight index and issue no DMA at all,
+    and x tiles are tiny so re-fetching them per program is cheap."""
+    if m_fastest:
+        xmap = lambda oi, mi, te: (mi, 0)
+        wmap = lambda oi, mi, te: (jnp.maximum(te[mi], 0), oi, 0)
+        omap = lambda oi, mi, te: (mi, oi)
+        return (lambda mp_t, o_t: (o_t, mp_t)), xmap, wmap, omap, 1
+    xmap = lambda mi, oi, te: (mi, 0)
+    wmap = lambda mi, oi, te: (jnp.maximum(te[mi], 0), oi, 0)
+    omap = lambda mi, oi, te: (mi, oi)
+    return (lambda mp_t, o_t: (mp_t, o_t)), xmap, wmap, omap, 0
+
+
+@functools.partial(jax.jit, static_argnames=("tm", "interpret", "layout", "m_fastest"))
+def _grouped_matmul_q(qs, scales, x_sorted, tile_expert, tm, interpret, layout,
+                      m_fastest=False):
     packed = layout == "packed4"
     e, o, wi = qs.shape
     i = wi * 2 if packed else wi
     mp = x_sorted.shape[0]
     to = _pick_to(o, i, 0.5 if packed else 1)
     dot_dtype = jnp.float32 if x_sorted.dtype == jnp.float32 else jnp.bfloat16
-    w_specs = [
-        pl.BlockSpec((1, to, wi),
-                     lambda mi, oi, te: (jnp.maximum(te[mi], 0), oi, 0)),
-        pl.BlockSpec((1, to, i // BLOCK),
-                     lambda mi, oi, te: (jnp.maximum(te[mi], 0), oi, 0)),
-    ]
+    grid_of, xmap, wmap, omap, mdim = _specs(tm, to, m_fastest)
+    w_specs = [pl.BlockSpec((1, to, wi), wmap),
+               pl.BlockSpec((1, to, i // BLOCK), wmap)]
     if packed:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(mp // tm, o // to),
-            in_specs=[
-                pl.BlockSpec((tm, i // 2), lambda mi, oi, te: (mi, 0)),
-                pl.BlockSpec((tm, i // 2), lambda mi, oi, te: (mi, 0)),
-                *w_specs,
-            ],
-            out_specs=pl.BlockSpec((tm, to), lambda mi, oi, te: (mi, oi)),
+            grid=grid_of(mp // tm, o // to),
+            in_specs=[pl.BlockSpec((tm, i // 2), xmap),
+                      pl.BlockSpec((tm, i // 2), xmap),
+                      *w_specs],
+            out_specs=pl.BlockSpec((tm, to), omap),
         )
         return pl.pallas_call(
-            functools.partial(_gkernel_packed4, dot_dtype=dot_dtype),
+            functools.partial(_gkernel_packed4, dot_dtype=dot_dtype, mdim=mdim),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((mp, o), jnp.float32),
             interpret=interpret,
         )(tile_expert, x_sorted[:, : i // 2], x_sorted[:, i // 2:], qs, scales)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(mp // tm, o // to),
-        in_specs=[pl.BlockSpec((tm, i), lambda mi, oi, te: (mi, 0)), *w_specs],
-        out_specs=pl.BlockSpec((tm, to), lambda mi, oi, te: (mi, oi)),
+        grid=grid_of(mp // tm, o // to),
+        in_specs=[pl.BlockSpec((tm, i), xmap), *w_specs],
+        out_specs=pl.BlockSpec((tm, to), omap),
     )
     return pl.pallas_call(
         functools.partial(_gkernel, dot_dtype=dot_dtype,
-                          interleaved=(layout == "interleaved")),
+                          interleaved=(layout == "interleaved"), mdim=mdim),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((mp, o), jnp.float32),
         interpret=interpret,
     )(tile_expert, x_sorted, qs, scales)
 
 
-@functools.partial(jax.jit, static_argnames=("tm", "interpret"))
-def _grouped_matmul_dense(w, x_sorted, tile_expert, tm, interpret):
+@functools.partial(jax.jit, static_argnames=("tm", "interpret", "m_fastest"))
+def _grouped_matmul_dense(w, x_sorted, tile_expert, tm, interpret, m_fastest=False):
     e, o, i = w.shape
     mp = x_sorted.shape[0]
     to = _pick_to(o, i, 2)
     dot_dtype = jnp.float32 if x_sorted.dtype == jnp.float32 else jnp.bfloat16
+    grid_of, xmap, wmap, omap, mdim = _specs(tm, to, m_fastest)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(mp // tm, o // to),
-        in_specs=[
-            pl.BlockSpec((tm, i), lambda mi, oi, te: (mi, 0)),
-            pl.BlockSpec((1, to, i),
-                         lambda mi, oi, te: (jnp.maximum(te[mi], 0), oi, 0)),
-        ],
-        out_specs=pl.BlockSpec((tm, to), lambda mi, oi, te: (mi, oi)),
+        grid=grid_of(mp // tm, o // to),
+        in_specs=[pl.BlockSpec((tm, i), xmap),
+                  pl.BlockSpec((1, to, i), wmap)],
+        out_specs=pl.BlockSpec((tm, to), omap),
     )
     return pl.pallas_call(
-        functools.partial(_gkernel_dense, dot_dtype=dot_dtype),
+        functools.partial(_gkernel_dense, dot_dtype=dot_dtype, mdim=mdim),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((mp, o), jnp.float32),
         interpret=interpret,
     )(tile_expert, x_sorted, w)
+
+
+# below this many m-tiles, iterate the grid m-fastest (see _specs)
+_M_FASTEST_MAX_TILES = 8
 
 
 def grouped_matmul(w, x_sorted, tile_expert, tm: int, interpret: bool | None = None):
@@ -225,6 +259,7 @@ def grouped_matmul(w, x_sorted, tile_expert, tm: int, interpret: bool | None = N
     grouped matmul; W: QTensor [E, O, I] or dense [E, O, I])."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    m_fastest = x_sorted.shape[0] // tm <= _M_FASTEST_MAX_TILES
     if isinstance(w, QTensor):
         x = x_sorted
         if w.layout != "canonical":
@@ -232,20 +267,24 @@ def grouped_matmul(w, x_sorted, tile_expert, tm: int, interpret: bool | None = N
 
             x = interleave_activation(x_sorted)
         return _grouped_matmul_q(w.qs, w.scales, x, tile_expert, tm, interpret,
-                                 w.layout)
-    return _grouped_matmul_dense(w, x_sorted, tile_expert, tm, interpret)
+                                 w.layout, m_fastest)
+    return _grouped_matmul_dense(w, x_sorted, tile_expert, tm, interpret, m_fastest)
 
 
 # ----------------------------------------------------------------- FFN
-def grouped_ffn(lw, hf, top_w, row_token, dest, tile_expert, tm: int):
-    """gate/up/act/down over expert-sorted rows + weighted scatter-add back
-    to tokens. Shared by the single-device and expert-parallel paths."""
+def grouped_ffn(lw, hf, top_w, row_token, row_src, tile_expert, tm: int):
+    """gate/up/act/down over expert-sorted rows + weighted combine back to
+    tokens. Shared by the single-device and expert-parallel paths.
+    Scatter-free: routing weights gather through row_src and the per-token
+    combine is a one-hot matmul on the MXU (XLA's TPU scatter-add would
+    serialize per row)."""
     n, d = hf.shape
 
     hf_pad = jnp.concatenate([hf, jnp.zeros((1, d), hf.dtype)], axis=0)
     x_sorted = hf_pad[row_token]                                   # [Mp, D]
-    row_w = jnp.zeros((row_token.shape[0],), jnp.float32
-                      ).at[dest].set(top_w.reshape(-1).astype(jnp.float32))
+    w_pad = jnp.concatenate([top_w.reshape(-1).astype(jnp.float32),
+                             jnp.zeros((1,), jnp.float32)])
+    row_w = w_pad[row_src]                                         # [Mp]
 
     def unpad(y, w):
         lo = getattr(w, "logical_out", 0)
@@ -259,9 +298,13 @@ def grouped_ffn(lw, hf, top_w, row_token, dest, tile_expert, tm: int):
     down = unpad(grouped_matmul(lw["down_exps"], act, tile_expert, tm),
                  lw["down_exps"])                                  # [Mp, D]
 
-    out = jnp.zeros((n + 1, d), jnp.float32
-                    ).at[row_token].add(down * row_w[:, None])
-    return out[:n]
+    # per-token combine: one-hot [N, Mp] @ weighted rows [Mp, D] (pad rows
+    # have row_token == n and match nothing)
+    onehot = (row_token[None, :] == jnp.arange(n, dtype=jnp.int32)[:, None]
+              ).astype(jnp.float32)
+    return jax.lax.dot_general(onehot, down * row_w[:, None],
+                               dimension_numbers=(((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
 
 
 def moe_ffn_grouped(cfg, hf, top_w, top_i, lw, tm: int = 128):
@@ -269,5 +312,5 @@ def moe_ffn_grouped(cfg, hf, top_w, top_i, lw, tm: int = 128):
     top_w/top_i: [N, k]. Returns routed output [N, D] f32 (shared expert is
     handled by the caller). Semantics identical to the per-token scan path
     (top-k without renorm)."""
-    row_token, dest, tile_expert = sort_by_expert(top_i, cfg.n_experts, tm)
-    return grouped_ffn(lw, hf, top_w, row_token, dest, tile_expert, tm)
+    row_token, row_src, tile_expert = sort_by_expert(top_i, cfg.n_experts, tm)
+    return grouped_ffn(lw, hf, top_w, row_token, row_src, tile_expert, tm)

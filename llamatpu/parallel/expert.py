@@ -56,10 +56,10 @@ def moe_ffn_expert_parallel(cfg, hf, top_w, top_i, lw, mesh, tm: int = 32):
         local = (top_i_ >= lo) & (top_i_ < lo + e_loc)
         li = jnp.where(local, top_i_ - lo, e_loc)     # e_loc = overflow group
         w = jnp.where(local, top_w_, 0.0)
-        row_token, dest, tile_expert = sort_by_expert(li, e_loc + 1, tm)
+        row_token, row_src, tile_expert = sort_by_expert(li, e_loc + 1, tm)
         # overflow tiles -> inactive sentinel (no compute, no weight DMA)
         tile_expert = jnp.where(tile_expert >= e_loc, -1, tile_expert)
-        out = grouped_ffn(experts_, hf_, w, row_token, dest, tile_expert, tm)
+        out = grouped_ffn(experts_, hf_, w, row_token, row_src, tile_expert, tm)
         return jax.lax.psum(out, "tp")
 
     fn = shard_map(

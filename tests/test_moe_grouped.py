@@ -16,23 +16,26 @@ def test_sort_by_expert_invariants():
     rng = np.random.default_rng(0)
     n, k, e, tm = 13, 3, 5, 8
     top_i = jnp.asarray(rng.integers(0, e, (n, k)), jnp.int32)
-    row_token, dest, tile_expert = sort_by_expert(top_i, e, tm)
+    row_token, row_src, tile_expert = sort_by_expert(top_i, e, tm)
     mp = row_token.shape[0]
     assert mp % tm == 0 and tile_expert.shape[0] == mp // tm
     rt = np.asarray(row_token)
+    rs = np.asarray(row_src)
     te = np.asarray(tile_expert)
     flat_e = np.asarray(top_i).reshape(-1)
-    flat_t = np.arange(n * k) // k
-    dest_np = np.asarray(dest)
-    # every assignment lands in a tile owned by its expert
-    for j in range(n * k):
-        d = dest_np[j]
-        assert rt[d] == flat_t[j]
-        assert te[d // tm] == flat_e[j]
-    # destinations unique; non-assigned rows are the pad token
-    assert len(set(dest_np.tolist())) == n * k
-    pad_rows = np.setdiff1d(np.arange(mp), dest_np)
-    assert (rt[pad_rows] == n).all()
+    real = np.nonzero(rs < n * k)[0]
+    # every assignment appears exactly once, in a tile owned by its expert,
+    # with its own token
+    assert sorted(rs[real].tolist()) == list(range(n * k))
+    for r in real:
+        j = rs[r]
+        assert rt[r] == j // k
+        assert te[r // tm] == flat_e[j]
+    # padding rows carry the pad token / pad source
+    pad_rows = np.setdiff1d(np.arange(mp), real)
+    assert (rt[pad_rows] == n).all() and (rs[pad_rows] == n * k).all()
+    # tiles are either -1 or a valid expert; all-pad tail tiles are -1
+    assert ((te == -1) | ((te >= 0) & (te < e))).all()
 
 
 @pytest.mark.parametrize("quant", [GGMLType.F32, GGMLType.Q8_0])
@@ -100,5 +103,24 @@ def test_grouped_packed4_matches_scan(tmp_path):
     h = jnp.asarray(rng.standard_normal((1, 33, cfg.dim)) * 0.3, jnp.float32)
     want = _moe_ffn(cfg, h, lw, "xla")      # dequant reference
     got = _moe_ffn(cfg, h, lw, "pallas")    # grouped kernel, packed weights
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("n_tokens", [1, 2])
+def test_grouped_decode_shapes_match_scan(tmp_path, n_tokens):
+    """N=1/2 (decode) now routes through the grouped kernel under pallas."""
+    from llamatpu.models.transformer import _moe_ffn
+
+    path = tmp_path / f"moe_dec_{n_tokens}.gguf"
+    tiny_models.build_tiny_gguf(path, family="qwen2moe", quant=GGMLType.Q8_0, seed=11)
+    model = mloader.load_model(str(path), mode="quant", param_dtype=jnp.float32,
+                               load_tokenizer=False)
+    cfg = model.cfg
+    lw = jax.tree.map(lambda a: a[0], model.weights["layers"])
+    rng = np.random.default_rng(13)
+    h = jnp.asarray(rng.standard_normal((1, n_tokens, cfg.dim)) * 0.3, jnp.float32)
+    want = _moe_ffn(cfg, h, lw, "xla")     # per-token scan reference
+    got = _moe_ffn(cfg, h, lw, "pallas")   # grouped kernel, m-fastest grid
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
