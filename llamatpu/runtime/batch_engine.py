@@ -94,8 +94,14 @@ class BatchEngine:
 
             def body(c):
                 i, tok, cache_, pos, act, rng_, out_ = c
+                # park inactive lanes' KV rewrites in the physical slack row
+                # (never read): with interleaved chunked prefill another
+                # request may be mid-prefill in this lane, and a stale-pos
+                # rewrite would corrupt its freshly written KV
+                park = jnp.int32(cache_.k.shape[3] - 1)
                 logits, cache_ = forward_tokens(cfg, weights, tok[:, None], cache_,
-                                                pos, impl=impl_, last_logit_only=True,
+                                                jnp.where(act, pos, park),
+                                                impl=impl_, last_logit_only=True,
                                                 ep_mesh=ep_mesh,
                                                 s_limit=self.cache_len)
                 rng_, sub = jax.random.split(rng_)

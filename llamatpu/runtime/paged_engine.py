@@ -94,9 +94,15 @@ class PagedBatchEngine:
 
             def body(c):
                 i, tok, cache_, pos, act, rng_, out_ = c
+                # route inactive lanes' KV rewrites to the trash block: with
+                # interleaved chunked prefill this lane's table may already
+                # hold another request's freshly prefilled (or prefix-cache
+                # SHARED) blocks, which a stale-pos rewrite would corrupt
+                trash = jnp.int32(cache_.k_pool.shape[1] - 1)
+                tbl = jnp.where(act[:, None], tables, trash)
                 logits, cache_ = forward_tokens(cfg, weights, tok[:, None], cache_,
                                                 pos, impl=impl_, last_logit_only=True,
-                                                tables=tables, ep_mesh=ep_mesh)
+                                                tables=tbl, ep_mesh=ep_mesh)
                 rng_, sub = jax.random.split(rng_)
                 nxt = _sample_lanes(logits, sub, temps, topps)
                 nxt = jnp.where(act, nxt, tok)
@@ -141,20 +147,26 @@ class PagedBatchEngine:
         need = -(-(prompt_len + self.decode_window + 1) // self.block_size)
         return self.alloc.can_allocate(need)
 
-    def admit_lane(self, lane: int, tokens: list[int], temperature: float = 0.0,
-                   top_p: float = 0.0) -> tuple[int, int]:
-        """Prefix-cache-aware lane admission: map cached full blocks of the
-        prompt into the lane table, prefill the novel suffix. Returns
-        (first sampled token, prompt tokens served from the cache)."""
+    def acquire_prefix_for(self, lane: int, tokens: list[int]) -> int:
+        """Map cached full blocks of the prompt into the lane table; returns
+        the number of prompt tokens thereby served from the prefix cache.
+        The caller prefills only tokens[reuse:] (the ContinuousBatcher feeds
+        them chunk-at-a-time, interleaved with decode windows)."""
+        if not self.prefix_cache:
+            return 0
         from llamatpu.runtime.paged_cache import block_hashes
 
-        reuse = 0
-        if self.prefix_cache:
-            hashes = block_hashes(tokens, self.block_size)
-            # the final prompt token must run through prefill (its logits
-            # produce the first sampled token), so cap reuse at len-1
-            max_blocks = (len(tokens) - 1) // self.block_size
-            reuse = self.alloc.acquire_prefix(lane, hashes, max_blocks) * self.block_size
+        hashes = block_hashes(tokens, self.block_size)
+        # the final prompt token must run through prefill (its logits
+        # produce the first sampled token), so cap reuse at len-1
+        max_blocks = (len(tokens) - 1) // self.block_size
+        return self.alloc.acquire_prefix(lane, hashes, max_blocks) * self.block_size
+
+    def admit_lane(self, lane: int, tokens: list[int], temperature: float = 0.0,
+                   top_p: float = 0.0) -> tuple[int, int]:
+        """Prefix-cache-aware lane admission in one call: map cached blocks,
+        prefill the novel suffix. Returns (first sampled token, reused)."""
+        reuse = self.acquire_prefix_for(lane, tokens)
         first = self.prefill_lane(lane, tokens[reuse:], reuse, temperature, top_p)
         return first, reuse
 

@@ -8,9 +8,16 @@ keep decoding, each lane streams tokens to its own consumer, and lanes free up
 independently on stop/length.
 
 Scheduling loop (one background thread):
-  1. admit: pop pending requests into free lanes (chunked prefill per lane)
-  2. decode: one device-side window for all active lanes
-  3. route: distribute the [W, B] token slab to per-request streams; finish
+  1. assign: pop pending requests into free lanes (no device work yet)
+  2. prefill-interleave: advance the OLDEST prefilling lane by ONE chunk —
+     a chunk costs about one weight pass, i.e. roughly one decode step, so
+     running lanes are never frozen behind a long prompt (the reference
+     serializes whole requests, InferenceService.java:59; a naive batcher
+     serializes whole prefills — this does neither)
+  3. decode: one device-side window for all active lanes; while any lane is
+     still prefilling the window is capped at `interleave_decode_steps` so
+     time-to-first-token stays bounded
+  4. route: distribute the [W, B] token slab to per-request streams; finish
      lanes on stop token or budget; goto 1
 
 All requests share the model's chat-format stop set (single-model server).
@@ -81,12 +88,23 @@ class _Lane:
     # in `next_tok`. Drives paged prefix-cache block registration at release.
     fed: list = field(default_factory=list)
     next_tok: int = -1
+    # chunked-prefill state: prompt tokens not yet fed + the lane's next
+    # prefill write position; empty rem = prefill complete (lane decodes)
+    prefill_rem: list = field(default_factory=list)
+    prefill_pos: int = 0
+    seq: int = 0  # assignment order (FCFS prefill advancement)
 
 
 class ContinuousBatcher:
-    def __init__(self, engine: BatchEngine, stop_tokens: set[int]):
+    def __init__(self, engine: BatchEngine, stop_tokens: set[int],
+                 interleave_decode_steps: int = 4):
         self.engine = engine
         self.stop_tokens = set(stop_tokens)
+        # decode-window cap while a prefill is in flight: one prefill chunk
+        # costs ~one weight pass ~= one decode step, so TTFT for a P-token
+        # prompt is ~ceil(P/chunk) * (1 + this) decode-steps
+        self.interleave_decode_steps = max(1, int(interleave_decode_steps))
+        self._seq = 0
         self.B = engine.batch_size
         self._lanes = [_Lane() for _ in range(self.B)]
         self._pending: queue.Queue[BatchRequest] = queue.Queue()
@@ -141,28 +159,51 @@ class ContinuousBatcher:
                 # paged pool backpressure: hold until blocks free up
                 self._backlog.append(req)
                 return
-            admit = getattr(self.engine, "admit_lane", None)
-            if admit is not None:  # paged engine: prefix-cache-aware admission
-                first, reuse = admit(lane, req.prompt_tokens,
-                                     req.temperature, req.top_p)
+            reuse = 0
+            acquire = getattr(self.engine, "acquire_prefix_for", None)
+            if acquire is not None:  # paged engine: map cached prompt blocks
+                reuse = acquire(lane, req.prompt_tokens)
                 req.stream.cached_tokens = reuse
-            else:
-                first = self.engine.prefill_lane(lane, req.prompt_tokens, 0,
-                                                 req.temperature, req.top_p)
             l = self._lanes[lane]
             l.req = req
-            l.produced = 1
-            l.fed = list(req.prompt_tokens)
-            l.next_tok = first
-            self._tokens[lane] = first
-            self._pos[lane] = len(req.prompt_tokens)
+            l.produced = 0
+            l.fed = list(req.prompt_tokens[:reuse])
+            l.next_tok = -1
+            l.prefill_rem = list(req.prompt_tokens[reuse:])
+            l.prefill_pos = reuse
+            l.seq = self._seq
+            self._seq += 1
             self._temps[lane] = req.temperature
             self._topps[lane] = req.top_p
-            req.stream.push(first)
-            if first in self.stop_tokens:
-                self._finish_lane(lane, "stop")
-            else:
-                self._active[lane] = True
+
+    def _prefilling(self) -> list[int]:
+        return sorted((i for i, l in enumerate(self._lanes)
+                       if l.req is not None and l.prefill_rem),
+                      key=lambda i: self._lanes[i].seq)
+
+    def _advance_prefill(self, lane: int) -> None:
+        """Feed ONE chunk of the lane's remaining prompt. On the final chunk
+        the sampled first token goes live and the lane joins decode."""
+        l = self._lanes[lane]
+        c = self.engine.prefill_chunk
+        chunk = l.prefill_rem[:c]
+        final = len(l.prefill_rem) <= c
+        tok = self.engine.prefill_lane(lane, chunk, l.prefill_pos,
+                                       l.req.temperature, l.req.top_p)
+        l.prefill_pos += len(chunk)
+        l.prefill_rem = l.prefill_rem[len(chunk):]
+        l.fed.extend(chunk)
+        if not final:  # intermediate chunk: the sampled token is discarded
+            return
+        l.produced = 1
+        l.next_tok = tok
+        self._tokens[lane] = tok
+        self._pos[lane] = l.prefill_pos
+        l.req.stream.push(tok)
+        if tok in self.stop_tokens:
+            self._finish_lane(lane, "stop")
+        else:
+            self._active[lane] = True
 
     def _finish_lane(self, lane: int, reason: str) -> None:
         l = self._lanes[lane]
@@ -173,6 +214,8 @@ class ContinuousBatcher:
         l.produced = 0
         l.fed = []
         l.next_tok = -1
+        l.prefill_rem = []
+        l.prefill_pos = 0
         self._active[lane] = False
         release = getattr(self.engine, "release_lane", None)
         if release is not None:
@@ -201,9 +244,14 @@ class ContinuousBatcher:
             if l.req is not None and l.req.stream.cancelled:
                 self._finish_lane(b, "stop")
         self._admit()
+        prefilling = self._prefilling()
+        if prefilling:
+            self._advance_prefill(prefilling[0])
+            prefilling = self._prefilling()
         if not self._active.any():
-            self._wake.wait(timeout=0.05)
-            self._wake.clear()
+            if not prefilling:  # fully idle: sleep until work arrives
+                self._wake.wait(timeout=0.05)
+                self._wake.clear()
             return
         # bound the window by the tightest remaining budget so no lane
         # overshoots (simpler than per-lane device budgets)
@@ -212,6 +260,8 @@ class ContinuousBatcher:
         if not limits:
             return
         limit = max(1, min(min(limits), self.engine.decode_window))
+        if prefilling:  # keep TTFT bounded while a prompt is still feeding
+            limit = min(limit, self.interleave_decode_steps)
         slab = self.engine.decode_window_run(
             self._tokens, self._pos, self._active, self.stop_tokens,
             self._temps, self._topps, limit=limit)

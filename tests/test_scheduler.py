@@ -64,6 +64,61 @@ def test_stop_token_frees_lane(model):
     batcher.shutdown()
 
 
+def test_interleaved_chunked_prefill_no_corruption(model):
+    """A multi-chunk prompt admitted into a REUSED lane while the other lane
+    keeps decoding: chunked prefill interleaves with decode windows, and the
+    reused lane's stale position must not corrupt the fresh KV (inactive-lane
+    writes are parked in the physical slack row)."""
+    pA, pB = [5, 9, 23], [41, 8]
+    pC = list(range(2, 42, 2))  # 20 tokens -> 3 chunks at prefill_chunk=8
+    refA = greedy_ref(model, pA, 4)
+    refB = greedy_ref(model, pB, 24)
+    refC = greedy_ref(model, pC, 6)
+
+    be = BatchEngine(model, batch_size=2, cache_dtype=jnp.float32,
+                     prefill_chunk=8, decode_window=4)
+    batcher = ContinuousBatcher(be, stop_tokens=set(), interleave_decode_steps=2)
+    sB = batcher.submit(BatchRequest(pB, 24))
+    sA = batcher.submit(BatchRequest(pA, 4))
+    outA = list(sA)           # lane frees with a stale position
+    sC = batcher.submit(BatchRequest(pC, 6))  # reuses the lane mid-B-decode
+    outC = list(sC)
+    outB = list(sB)
+    batcher.shutdown()
+    assert outA == refA and outB == refB and outC == refC
+
+
+def test_interleaved_prefill_paged_shared_blocks(model):
+    """Same hazard through the paged engine: while a reused lane chunk-prefills
+    a prompt whose table leads with prefix-cache SHARED blocks, the stale-pos
+    rewrite would land in (and corrupt) a cached block shared across requests —
+    inactive lanes must write to the trash block instead."""
+    from llamatpu.runtime.paged_engine import PagedBatchEngine
+
+    pfx = list(range(3, 35, 2))           # 16 tokens = 4 full blocks at bs=4
+    pB = [41, 8]
+    warm_prompt = pfx + [50, 51]
+    ref_warm = greedy_ref(model, warm_prompt, 6)
+    refB = greedy_ref(model, pB, 24)
+
+    e = PagedBatchEngine(model, batch_size=2, block_size=4, n_blocks=40,
+                         cache_dtype=jnp.float32, prefill_chunk=8,
+                         decode_window=4, prefix_cache=True)
+    b = ContinuousBatcher(e, stop_tokens=set(), interleave_decode_steps=2)
+    sB = b.submit(BatchRequest(pB, 24))            # keeps lane 1 decoding
+    s1 = b.submit(BatchRequest(pfx + [90], 2))     # seeds the prefix cache
+    list(s1)
+    s2 = b.submit(BatchRequest(warm_prompt, 6))    # reuses shared blocks
+    out2 = list(s2)
+    assert s2.cached_tokens > 0
+    outB = list(sB)
+    # a third warm request checks the shared blocks survived the interleave
+    s3 = b.submit(BatchRequest(warm_prompt, 6))
+    out3 = list(s3)
+    b.shutdown()
+    assert out2 == ref_warm and out3 == ref_warm and outB == refB
+
+
 def test_budget_respected(model):
     be = BatchEngine(model, batch_size=2, cache_dtype=jnp.float32, decode_window=4)
     batcher = ContinuousBatcher(be, stop_tokens=set())
