@@ -86,6 +86,9 @@ def build_parser() -> argparse.ArgumentParser:
     serve.add_argument("--kv-block-size", type=int, default=16)
     serve.add_argument("--no-prefix-cache", action="store_true",
                        help="disable KV prefix reuse across requests")
+    serve.add_argument("--interleave-decode-steps", type=int, default=4,
+                       help="decode steps run between prefill chunks while a "
+                            "prompt is still feeding (TTFT vs decode tradeoff)")
 
     ppl = sub.add_parser("ppl", help="perplexity evaluation")
     common(ppl)

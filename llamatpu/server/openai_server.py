@@ -263,7 +263,9 @@ def serve(args) -> None:
             bengine = BatchEngine(model, batch_size=args.batch_size, impl=args.impl,
                                   prefill_chunk=args.prefill_chunk, cache_len=cache_len,
                                   cache_dtype=_cache_dtype(args), mesh=mesh, ep=ep)
-        service = BatchedInferenceService(model, bengine)
+        service = BatchedInferenceService(
+            model, bengine,
+            interleave_decode_steps=getattr(args, "interleave_decode_steps", 4))
     else:
         engine = Engine(model, impl=args.impl, prefill_chunk=args.prefill_chunk,
                         cache_len=cache_len, cache_dtype=_cache_dtype(args),

@@ -206,11 +206,14 @@ class BatchedInferenceService:
     the ContinuousBatcher scheduler — requests are NOT serialized (north-star
     upgrade over the reference's synchronized InferenceService)."""
 
-    def __init__(self, model: LoadedModel, batch_engine):
+    def __init__(self, model: LoadedModel, batch_engine,
+                 interleave_decode_steps: int = 4):
         from llamatpu.runtime.scheduler import ContinuousBatcher
 
         self.model = model
-        self.batcher = ContinuousBatcher(batch_engine, model.chat_format.stop_tokens())
+        self.batcher = ContinuousBatcher(
+            batch_engine, model.chat_format.stop_tokens(),
+            interleave_decode_steps=interleave_decode_steps)
         self.engine = batch_engine
 
     def generate(self, req: Request, on_piece=None) -> Result:
