@@ -11,8 +11,11 @@ inside the device loop while the others continue.
 
 Per-lane semantics:
 - pos_vec[B]: each lane's next write position (transformer handles vector pos)
-- active[B]: inactive lanes re-feed their last token, rewriting the SAME KV at
-  an unchanged position (a deterministic no-op) and emit -1 in the output slab
+- active[B]: inactive lanes re-feed their last token and emit -1 in the output
+  slab; their KV writes are PARKED in the physical slack row past cache_len
+  (never attended — s_limit masks it), because with interleaved chunked
+  prefill another request may already be mid-prefill in this lane and a
+  stale-position rewrite would corrupt its freshly written KV
 - temps/topps[B]: temp == 0 lanes take the argmax branch (select, not recompile)
 """
 from __future__ import annotations

@@ -147,6 +147,18 @@ class PagedBatchEngine:
         need = -(-(prompt_len + self.decode_window + 1) // self.block_size)
         return self.alloc.can_allocate(need)
 
+    def reserve_lane(self, lane: int, prompt_len: int) -> bool:
+        """Reserve the lane's FULL prompt span (+ one decode window of
+        headroom) synchronously at admission. Chunked prefill then allocates
+        nothing mid-flight, so a later same-pass admission or another lane's
+        decode-window growth can never starve an in-flight prefill (which
+        would raise through the scheduler loop and truncate every stream).
+        Returns False (partial allocation intact — caller releases the lane)
+        when the pool can't cover it. Call after acquire_prefix_for: shared
+        prefix blocks lead the table and count toward the span."""
+        return self.alloc.ensure(lane, prompt_len + self.decode_window + 1,
+                                 self.block_size)
+
     def acquire_prefix_for(self, lane: int, tokens: list[int]) -> int:
         """Map cached full blocks of the prompt into the lane table; returns
         the number of prompt tokens thereby served from the prefix cache.

@@ -164,6 +164,17 @@ class ContinuousBatcher:
             if acquire is not None:  # paged engine: map cached prompt blocks
                 reuse = acquire(lane, req.prompt_tokens)
                 req.stream.cached_tokens = reuse
+            reserve = getattr(self.engine, "reserve_lane", None)
+            if reserve is not None and not reserve(lane, len(req.prompt_tokens)):
+                # can_admit raced another lane's block growth: roll back this
+                # lane's blocks (incl. acquired prefix refs) and hold the
+                # request — admitting without the full prompt span reserved
+                # would let chunked prefill fail mid-flight, which the loop's
+                # catch-all would turn into truncating EVERY in-flight stream
+                self.engine.release_lane(lane)
+                req.stream.cached_tokens = 0
+                self._backlog.append(req)
+                return
             l = self._lanes[lane]
             l.req = req
             l.produced = 0

@@ -126,3 +126,30 @@ def test_budget_respected(model):
     out = list(s)
     assert len(out) == 3 and s.finish_reason == "length"
     batcher.shutdown()
+
+
+def test_paged_backpressure_no_overcommit(model):
+    """Two prompts that can't BOTH fit the paged pool: admission must reserve
+    the full prompt span up front, so the second request waits in the backlog
+    instead of both being admitted and one starving mid-prefill (which raised
+    through the scheduler loop and truncated every in-flight stream)."""
+    from llamatpu.runtime.paged_engine import PagedBatchEngine
+
+    p1 = list(range(2, 42, 2))   # 20 tokens: needs ceil((20+4+1)/4)=7 blocks
+    p2 = list(range(3, 43, 2))
+    ref1 = greedy_ref(model, p1, 4)
+    ref2 = greedy_ref(model, p2, 4)
+
+    # 9 blocks - 1 trash = 8 usable: only ONE lane's 7-block span fits at a
+    # time; under the old lazy per-chunk allocation both prompts admitted and
+    # one raised 'paged KV pool exhausted' at its third chunk
+    e = PagedBatchEngine(model, batch_size=2, block_size=4, n_blocks=9,
+                         cache_dtype=jnp.float32, prefill_chunk=8,
+                         decode_window=4, prefix_cache=False)
+    b = ContinuousBatcher(e, stop_tokens=set(), interleave_decode_steps=2)
+    s1 = b.submit(BatchRequest(p1, 4))
+    s2 = b.submit(BatchRequest(p2, 4))
+    out1, out2 = list(s1), list(s2)
+    b.shutdown()
+    assert out1 == ref1 and s1.finish_reason == "length"
+    assert out2 == ref2 and s2.finish_reason == "length"
