@@ -122,11 +122,28 @@ def _attention(cfg: ModelConfig, q, kc, vc, pos_vec, t_len):
     return out  # [B, T, KV, G, vhd] f32
 
 
-def _dense_ffn(cfg: ModelConfig, h, lw, impl):
-    gate = matmul(lw["w1"], h, impl)
-    up = matmul(lw["w3"], h, impl)
+def _mm(lw, slw, li, key, x, impl):
+    """Layer matmul: quantized weights under pallas go through the STACKED
+    kernel (slw[key] is the full [L, O, I] stack, layer li DMA'd in-kernel);
+    everything else uses the scan-sliced lw[key]. Rationale: XLA fuses a scan
+    xs slice into a dot_general operand for free, but MATERIALIZES a full
+    per-layer copy when the consumer is a pallas custom call — profiled at
+    ~50% of the Llama-1B Q8_0 decode step (3x weight HBM traffic)."""
+    if slw is not None and impl == "pallas" and isinstance(slw[key], QTensor):
+        return matmul(slw[key], x, impl, li=li)
+    return matmul(lw[key], x, impl)
+
+
+def _dense_ffn(cfg: ModelConfig, h, lw, impl, slw=None, li=None):
+    if "w13" in lw:  # fused gate+up (weights.fuse_layer_weights)
+        g13 = _mm(lw, slw, li, "w13", h, impl)
+        ff = g13.shape[-1] // 2
+        gate, up = g13[..., :ff], g13[..., ff:]
+    else:
+        gate = _mm(lw, slw, li, "w1", h, impl)
+        up = _mm(lw, slw, li, "w3", h, impl)
     act = jax.nn.silu(gate.astype(jnp.float32)).astype(h.dtype) * up
-    return matmul(lw["w2"], act, impl)
+    return _mm(lw, slw, li, "w2", act, impl)
 
 
 def _index_qtensor(w, i):
@@ -142,7 +159,7 @@ def _index_qtensor(w, i):
 # (numerics reference on CPU).
 
 
-def _moe_ffn(cfg: ModelConfig, h, lw, impl, ep_mesh=None):
+def _moe_ffn(cfg: ModelConfig, h, lw, impl, ep_mesh=None, slw=None, li=None):
     """Qwen2-MoE FFN: softmax-over-all-experts router, top-k WITHOUT
     renormalization (norm_topk_prob=false), plus an always-on shared expert
     gated by sigmoid(shared_gate_inp · h) (InferenceCore.java:366-415).
@@ -154,7 +171,7 @@ def _moe_ffn(cfg: ModelConfig, h, lw, impl, ep_mesh=None):
     ALL routed compute runs under shard_map (parallel/expert.py)."""
     b, t, d = h.shape
     hf = h.reshape(b * t, d)
-    router_logits = matmul(lw["router"], hf, impl).astype(jnp.float32)  # [N, E]
+    router_logits = _mm(lw, slw, li, "router", hf, impl).astype(jnp.float32)  # [N, E]
     probs = jax.nn.softmax(router_logits, axis=-1)
     top_w, top_i = jax.lax.top_k(probs, cfg.n_experts_used)  # no renorm
 
@@ -164,7 +181,7 @@ def _moe_ffn(cfg: ModelConfig, h, lw, impl, ep_mesh=None):
         tm = 128 if b * t * cfg.n_experts_used >= 1024 else 8
         routed = moe_ffn_expert_parallel(cfg, hf, top_w, top_i, lw, ep_mesh,
                                          tm=tm).astype(h.dtype)
-        return _moe_shared(cfg, h, hf, routed, lw, impl)
+        return _moe_shared(cfg, h, hf, routed, lw, impl, slw, li)
 
     if impl == "pallas":
         from llamatpu.ops.moe_grouped import moe_ffn_grouped
@@ -172,7 +189,7 @@ def _moe_ffn(cfg: ModelConfig, h, lw, impl, ep_mesh=None):
         nk = b * t * cfg.n_experts_used
         tm = 128 if nk >= 1024 else (8 if nk <= 64 else 32)
         routed = moe_ffn_grouped(cfg, hf, top_w, top_i, lw, tm=tm).astype(h.dtype)
-        return _moe_shared(cfg, h, hf, routed, lw, impl)
+        return _moe_shared(cfg, h, hf, routed, lw, impl, slw, li)
 
     def one_token(hv, ws, ids):
         def one_expert(carry, ji):
@@ -187,15 +204,20 @@ def _moe_ffn(cfg: ModelConfig, h, lw, impl, ep_mesh=None):
         return out
 
     routed = jax.vmap(one_token)(hf, top_w, top_i).astype(h.dtype)
-    return _moe_shared(cfg, h, hf, routed, lw, impl)
+    return _moe_shared(cfg, h, hf, routed, lw, impl, slw, li)
 
 
-def _moe_shared(cfg: ModelConfig, h, hf, routed, lw, impl):
+def _moe_shared(cfg: ModelConfig, h, hf, routed, lw, impl, slw=None, li=None):
     b, t, d = h.shape
-    sg = matmul(lw["shared_gate"], hf, impl)
-    su = matmul(lw["shared_up"], hf, impl)
+    if "shared_g13" in lw:  # fused shared gate+up
+        g13 = _mm(lw, slw, li, "shared_g13", hf, impl)
+        ff = g13.shape[-1] // 2
+        sg, su = g13[..., :ff], g13[..., ff:]
+    else:
+        sg = _mm(lw, slw, li, "shared_gate", hf, impl)
+        su = _mm(lw, slw, li, "shared_up", hf, impl)
     sact = jax.nn.silu(sg.astype(jnp.float32)).astype(h.dtype) * su
-    sdown = matmul(lw["shared_down"], sact, impl)
+    sdown = _mm(lw, slw, li, "shared_down", sact, impl)
     gate_score = jnp.einsum("nd,d->n", hf.astype(jnp.float32), lw["shared_gate_inp"].astype(jnp.float32))
     shared_w = jax.nn.sigmoid(gate_score)[:, None]
     out = routed.astype(jnp.float32) + shared_w * sdown.astype(jnp.float32)
@@ -265,7 +287,7 @@ def _write_scale_rows(c_all, snew, li, pos_vec, row0, gate):
 def make_layer_fn(cfg: ModelConfig, impl, b, t, pos_vec, cos, sin, *,
                   quantized=False, paged=False, block_size=None, tables=None,
                   s_limit: int | None = None, ep_mesh=None, batch_offset=None,
-                  write_gate=None):
+                  write_gate=None, slw=None):
     """One transformer layer as a lax.scan step over stacked weights with the
     STACKED KV cache carried through the scan.
 
@@ -289,9 +311,16 @@ def make_layer_fn(cfg: ModelConfig, impl, b, t, pos_vec, cos, sin, *,
             ksc = vsc = None
         ks_view = vs_view = None  # dense [B, KV, 1, S] scale views (int8 mode)
         h = rmsnorm(x, lw["attn_norm"], cfg.rms_norm_eps)
-        q = matmul(lw["wq"], h, impl)
-        k = matmul(lw["wk"], h, impl)
-        v = matmul(lw["wv"], h, impl)
+        if "wqkv" in lw:  # fused q+k+v (weights.fuse_layer_weights)
+            qkv_out = _mm(lw, slw, li, "wqkv", h, impl)
+            qd, kd = cfg.n_heads * cfg.head_dim, kv * cfg.head_dim
+            q = qkv_out[..., :qd]
+            k = qkv_out[..., qd:qd + kd]
+            v = qkv_out[..., qd + kd:]
+        else:
+            q = _mm(lw, slw, li, "wq", h, impl)
+            k = _mm(lw, slw, li, "wk", h, impl)
+            v = _mm(lw, slw, li, "wv", h, impl)
         if cfg.qkv_bias:
             q = q + lw["q_bias"].astype(q.dtype)
             k = k + lw["k_bias"].astype(k.dtype)
@@ -407,14 +436,14 @@ def make_layer_fn(cfg: ModelConfig, impl, b, t, pos_vec, cos, sin, *,
                 kd, vd = kd[:, :, :lim], vd[:, :, :lim]
             attn = _attention(cfg, q.reshape(b, t, kv, g, cfg.head_dim), kd, vd, pos_vec, t)
         attn = attn.reshape(b, t, kv * g * cfg.v_head_dim).astype(x.dtype)
-        attn_out = matmul(lw["wo"], attn, impl)
+        attn_out = _mm(lw, slw, li, "wo", attn, impl)
         if cfg.residual_scale != 1.0:
             attn_out = (attn_out.astype(jnp.float32) * cfg.residual_scale).astype(x.dtype)
         x = x + attn_out
 
         h2 = rmsnorm(x, lw["ffn_norm"], cfg.rms_norm_eps)
-        ffn = (_moe_ffn(cfg, h2, lw, impl, ep_mesh) if cfg.is_moe
-               else _dense_ffn(cfg, h2, lw, impl))
+        ffn = (_moe_ffn(cfg, h2, lw, impl, ep_mesh, slw, li) if cfg.is_moe
+               else _dense_ffn(cfg, h2, lw, impl, slw, li))
         if cfg.residual_scale != 1.0:
             ffn = (ffn.astype(jnp.float32) * cfg.residual_scale).astype(x.dtype)
         x = x + ffn
@@ -453,7 +482,8 @@ def forward_tokens(cfg: ModelConfig, weights, tokens, cache, pos, impl="xla",
                              quantized=quantized, paged=paged,
                              block_size=cache.block_size if paged else None,
                              tables=tables, s_limit=s_limit, ep_mesh=ep_mesh,
-                             batch_offset=batch_offset)
+                             batch_offset=batch_offset,
+                             slw=weights["layers"] if impl == "pallas" else None)
 
     # the STACKED cache rides the scan CARRY with position-only writes (xs/ys
     # plumbing makes XLA copy the whole cache per step — see make_layer_fn)

@@ -30,7 +30,12 @@ _VMEM_BUDGET = 10 * 1024 * 1024
 
 
 def _tiles(O: int, I: int, T: int, xbytes: int, packed: bool = False) -> tuple[int, int, int]:
-    """Choose (padded_T, T_tile, O_tile) under the VMEM budget."""
+    """Choose (padded_T, T_tile, O_tile) under the VMEM budget.
+
+    O_tile sizing is DMA-driven (decode is pure weight streaming): target
+    ~1.5 MB weight blocks — measured on-chip, 0.5 MB blocks stream at
+    ~300-500 GB/s while 1-2 MB blocks reach 600-750 GB/s — while keeping at
+    least 2 grid steps so the pipeline overlaps DMA with the dequant+dot."""
     wI = I // 2 if packed else I  # weight bytes per row (packed4: 2 vals/byte)
 
     def fits(tt, to):
@@ -38,24 +43,35 @@ def _tiles(O: int, I: int, T: int, xbytes: int, packed: bool = False) -> tuple[i
         return need <= _VMEM_BUDGET
 
     tp = -(-T // 8) * 8
+    target = 1.5 * 1024 * 1024
     # O tile must be lane-aligned (multiple of 128) unless it covers all of O
-    for to in (256, 512, 128):
+    best = None  # (score, to, tt)
+    for to in (128, 256, 512, 1024, 2048):
         if O % to:
             continue
         tt = min(tp, 256)
         while tt > 8 and not fits(tt, to):
             tt //= 2
-        if fits(tt, to):
-            return -(-tp // tt) * tt, tt, to
+        if not fits(tt, to):
+            continue
+        blk = to * wI + to * (I // BLOCK) * 4
+        size_score = min(blk, target) / target   # prefer blocks near the target
+        pipe_score = 0.0 if O // to >= 2 else -0.25  # single-step: no overlap
+        score = size_score + pipe_score - (blk / (64 * target))  # mild anti-huge
+        if best is None or score > best[0]:
+            best = (score, to, tt)
+    if best is not None:
+        _, to, tt = best
+        return -(-tp // tt) * tt, tt, to
     tt = min(tp, 256)
     while tt > 8 and not fits(tt, O):
         tt //= 2
     return -(-tp // tt) * tt, tt, O  # tiny models: whole-O block
 
 
-def _kernel(x_ref, w_ref, s_ref, o_ref, *, dot_dtype, interleaved):
-    w = w_ref[:]                      # [TO, I] int8
-    s = s_ref[:].astype(jnp.float32)  # [TO, I/32]
+def _dequant_dot(x, w, s, o_ref, *, dot_dtype, interleaved):
+    """o_ref[:] = x [TT, I] @ dequant(w [TO, I] int8, s [TO, I/32])^T."""
+    s = s.astype(jnp.float32)
     to, i = w.shape
     nb = i // BLOCK
     if interleaved:
@@ -75,12 +91,23 @@ def _kernel(x_ref, w_ref, s_ref, o_ref, *, dot_dtype, interleaved):
             s, expander, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
     wd = (w.astype(jnp.float32) * s_exp).astype(dot_dtype)
-    x = x_ref[:].astype(dot_dtype)    # [TT, I]
     o_ref[:] = jax.lax.dot_general(
-        x, wd,
+        x.astype(dot_dtype), wd,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+
+
+def _kernel(x_ref, w_ref, s_ref, o_ref, *, dot_dtype, interleaved):
+    _dequant_dot(x_ref[:], w_ref[:], s_ref[:], o_ref,
+                 dot_dtype=dot_dtype, interleaved=interleaved)
+
+
+def _kernel_li(li_ref, x_ref, w_ref, s_ref, o_ref, *, dot_dtype, interleaved):
+    """Stacked-weights kernel: blocks arrive as [1, TO, ...] slices of the
+    [L, O, I] stack (layer picked by the scalar-prefetched index map)."""
+    _dequant_dot(x_ref[:], w_ref[0], s_ref[0], o_ref,
+                 dot_dtype=dot_dtype, interleaved=interleaved)
 
 
 def unpack4_halves(wp, s, dot_dtype):
@@ -101,6 +128,16 @@ def unpack4_halves(wp, s, dot_dtype):
 
 def _kernel_packed4(xl_ref, xh_ref, w_ref, s_ref, o_ref, *, dot_dtype):
     wl, wh = unpack4_halves(w_ref[:], s_ref[:], dot_dtype)
+    dn = (((1,), (1,)), ((), ()))
+    o_ref[:] = (
+        jax.lax.dot_general(xl_ref[:].astype(dot_dtype), wl, dn,
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(xh_ref[:].astype(dot_dtype), wh, dn,
+                              preferred_element_type=jnp.float32))
+
+
+def _kernel_packed4_li(li_ref, xl_ref, xh_ref, w_ref, s_ref, o_ref, *, dot_dtype):
+    wl, wh = unpack4_halves(w_ref[0], s_ref[0], dot_dtype)
     dn = (((1,), (1,)), ((), ()))
     o_ref[:] = (
         jax.lax.dot_general(xl_ref[:].astype(dot_dtype), wl, dn,
@@ -169,8 +206,86 @@ def _quant_matmul_2d(qs, scales, x2, interpret=False, layout="canonical"):
     return y
 
 
-def quant_matmul_pallas(w: QTensor, x: jnp.ndarray, interpret: bool | None = None) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("interpret", "layout"))
+def _quant_matmul_2d_li(qs3, scales3, x2, li, interpret=False, layout="canonical"):
+    """y[T, O] = x2[T, I] @ dequant(qs3[li], scales3[li])[O, I]^T.
+
+    The layer's weight blocks are DMA'd straight out of the STACKED [L, O, I]
+    array via a scalar-prefetched layer index in the block index maps. This is
+    the decode-critical path: feeding pallas a lax.scan xs slice instead makes
+    XLA materialize a full per-layer weight copy before every custom call
+    (profiled at ~50% of the decode step for Llama-1B: weights were read,
+    copied, and re-read — 3x HBM traffic)."""
+    from llamatpu.models.weights import interleave_activation
+
+    packed = layout == "packed4"
+    L, O, wI = qs3.shape
+    I = wI * 2 if packed else wI
+    T = x2.shape[0]
+    xbytes = 4 if x2.dtype == jnp.float32 else 2
+    tp, tt, to = _tiles(O, I, T, xbytes, packed)
+    dot_dtype = jnp.float32 if x2.dtype == jnp.float32 else jnp.bfloat16
+    if layout != "canonical":
+        x2 = interleave_activation(x2)
+    if tp != T:
+        x2 = jnp.pad(x2, ((0, tp - T), (0, 0)))
+    grid = (tp // tt, O // to)
+    w_spec = pl.BlockSpec((1, to, wI), lambda t, o, li_: (li_[0], o, 0))
+    s_spec = pl.BlockSpec((1, to, I // BLOCK), lambda t, o, li_: (li_[0], o, 0))
+    out_spec = pl.BlockSpec((tt, to), lambda t, o, li_: (t, o))
+    cost = pl.CostEstimate(
+        flops=2 * tp * O * I,
+        bytes_accessed=(tp // tt) * (O * wI + O * (I // BLOCK) * 4) + tp * I * xbytes + tp * O * 4,
+        transcendentals=0,
+    )
+    li_arr = jnp.asarray(li, jnp.int32).reshape(1)
+    if packed:
+        xl, xh = x2[:, : I // 2], x2[:, I // 2:]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid,
+            in_specs=[
+                pl.BlockSpec((tt, I // 2), lambda t, o, li_: (t, 0)),
+                pl.BlockSpec((tt, I // 2), lambda t, o, li_: (t, 0)),
+                w_spec, s_spec,
+            ],
+            out_specs=out_spec,
+        )
+        y = pl.pallas_call(
+            functools.partial(_kernel_packed4_li, dot_dtype=dot_dtype),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((tp, O), jnp.float32),
+            interpret=interpret,
+            cost_estimate=cost,
+        )(li_arr, xl, xh, qs3, scales3)
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid,
+            in_specs=[
+                pl.BlockSpec((tt, I), lambda t, o, li_: (t, 0)),
+                w_spec, s_spec,
+            ],
+            out_specs=out_spec,
+        )
+        y = pl.pallas_call(
+            functools.partial(_kernel_li, dot_dtype=dot_dtype,
+                              interleaved=(layout == "interleaved")),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((tp, O), jnp.float32),
+            interpret=interpret,
+            cost_estimate=cost,
+        )(li_arr, x2, qs3, scales3)
+    if tp != T:
+        y = y[:T]
+    return y
+
+
+def quant_matmul_pallas(w: QTensor, x: jnp.ndarray, interpret: bool | None = None,
+                        li=None) -> jnp.ndarray:
     """y[..., O] = x[..., I] @ W^T with fused in-kernel dequantization.
+
+    With `li` (a traced layer index), `w` holds the full [L, O, I] layer stack
+    and the kernel DMAs layer li's blocks directly (no per-layer slice copy —
+    see _quant_matmul_2d_li). Without it, `w` is a single [O, I] matrix.
 
     Matrices whose out-dim can't tile lane-aligned within the VMEM budget
     (e.g. Phi-3's 32064-row / Granite's 49155-row vocab heads — not multiples
@@ -178,20 +293,30 @@ def quant_matmul_pallas(w: QTensor, x: jnp.ndarray, interpret: bool | None = Non
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     qs, scales = w.qs, w.scales
-    assert qs.ndim == 2, "layer/expert stacking must be sliced before the kernel"
+    stacked = li is not None
+    assert qs.ndim == (3 if stacked else 2), \
+        "pass li= for stacked [L, O, I] weights; slice expert stacks first"
     lead = x.shape[:-1]
     T = 1
     for d in lead:
         T *= d
     packed = w.layout == "packed4"
-    O, wI = qs.shape
+    O, wI = qs.shape[-2:]
     I = wI * 2 if packed else wI
     xbytes = 4 if x.dtype == jnp.float32 else 2
     tp, tt, to = _tiles(O, I, T, xbytes, packed)
     if not interpret and to == O and (to * wI + to * (I // BLOCK) * 4) > _VMEM_BUDGET:
         from llamatpu.ops.matmul import matmul
 
+        if stacked:
+            from llamatpu.models.transformer import _index_qtensor
+
+            w = _index_qtensor(w, li)
         return matmul(w, x, impl="xla")
     x2 = x.reshape(T, x.shape[-1])
-    y = _quant_matmul_2d(qs, scales, x2, interpret=interpret, layout=w.layout)
+    if stacked:
+        y = _quant_matmul_2d_li(qs, scales, x2, li, interpret=interpret,
+                                layout=w.layout)
+    else:
+        y = _quant_matmul_2d(qs, scales, x2, interpret=interpret, layout=w.layout)
     return y.reshape(*lead, O).astype(x.dtype)

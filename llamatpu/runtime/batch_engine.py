@@ -131,7 +131,11 @@ class BatchEngine:
 
                 self.weights = shard_model(model.weights, cfg, mesh, ep=self.ep)
             else:
-                self.weights = jax.device_put(model.weights)
+                from llamatpu.models.weights import fuse_layer_weights
+
+                # unsharded: fuse qkv / gate+up into single wider matmuls
+                # (bit-exact row concat; fewer+bigger weight streams)
+                self.weights = jax.device_put(fuse_layer_weights(self.cfg, model.weights))
             jax.block_until_ready(jax.tree.leaves(self.weights))
         self.metrics.weight_upload_s = t.elapsed
         self.cache = self._new_cache()

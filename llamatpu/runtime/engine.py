@@ -107,7 +107,11 @@ class Engine:
                 self.weights = shard_model(model.weights, self.cfg, mesh,
                                            ep=self.ep)
             else:
-                self.weights = jax.device_put(model.weights)
+                from llamatpu.models.weights import fuse_layer_weights
+
+                # unsharded: fuse qkv / gate+up into single wider matmuls
+                # (bit-exact row concat; fewer+bigger weight streams)
+                self.weights = jax.device_put(fuse_layer_weights(self.cfg, model.weights))
             jax.block_until_ready(jax.tree.leaves(self.weights))
         self.metrics.weight_upload_s = t.elapsed
 

@@ -11,8 +11,11 @@ single ids.
 from __future__ import annotations
 
 import functools
+import logging
 
 import regex
+
+log = logging.getLogger(__name__)
 
 # Pretokenizer regexes (verbatim semantics from the reference tokenizers)
 LLAMA3_PATTERN = r"(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}{1,3}| ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+"
@@ -68,12 +71,22 @@ class BPETokenizer:
     # -- encode -----------------------------------------------------------
 
     def _encode_chunk(self, chunk: str) -> list[int]:
-        s = "".join(self._byte_enc[b] for b in chunk.encode("utf-8"))
+        # errors="replace": a lone surrogate (reachable via JSON "\ud800" in a
+        # server request) must not crash encode — it becomes U+FFFD bytes
+        s = "".join(self._byte_enc[b] for b in chunk.encode("utf-8", errors="replace"))
         ids = []
         for ch in s:
             i = self.vocabulary.index_of(ch)
             if i is None:
-                return ids  # unmappable byte char (shouldn't happen for byte-level vocab)
+                # a byte-level vocab contains all 256 byte chars, so this only
+                # happens with a truncated/corrupt vocab: skip THIS char and
+                # keep encoding (previously the rest of the chunk was silently
+                # dropped), warning once per tokenizer
+                if not getattr(self, "_warned_unmappable", False):
+                    self._warned_unmappable = True
+                    log.warning("vocab is missing byte-level char %r (0x%02x); "
+                                "skipping occurrences", ch, self._byte_dec.get(ch, 0))
+                continue
             ids.append(i)
         while len(ids) > 1:
             best = None

@@ -7,6 +7,8 @@ adjacent pair merges until no pair exists in the vocab — matching the referenc
 """
 from __future__ import annotations
 
+import heapq
+
 import regex
 
 from llamatpu.tokenizer.vocabulary import Vocabulary
@@ -31,7 +33,7 @@ class SPMTokenizer:
         else:
             self._special_re = None
 
-    def _encode_ordinary(self, text: str) -> list[int]:
+    def _char_ids(self, text: str) -> list[int]:
         text = text.replace(" ", SPACE)
         ids: list[int] = []
         for ch in text:
@@ -39,9 +41,61 @@ class SPMTokenizer:
             if i is not None:
                 ids.append(i)
             else:
-                for b in ch.encode("utf-8"):
+                # errors="replace": lone surrogates (reachable via JSON
+                # "\ud800") fall back to U+FFFD's bytes instead of crashing
+                for b in ch.encode("utf-8", errors="replace"):
                     ids.append(self.byte0 + b)
-        # greedy merge of the best-scoring adjacent pair
+        return ids
+
+    def _encode_ordinary(self, text: str) -> list[int]:
+        """Heap-driven merge: O(n log n) over adjacent pairs (the round-1
+        whole-text rescan was O(n^2) — perplexity corpora crawled). Semantics
+        identical to _encode_ordinary_slow: repeatedly merge the
+        highest-scoring in-vocab adjacent pair, leftmost on score ties."""
+        ids = self._char_ids(text)
+        n = len(ids)
+        if n < 2:
+            return ids
+        vals = list(ids)
+        alive = [True] * n
+        nxt = list(range(1, n)) + [-1]
+        prv = [-1] + list(range(n - 1))
+        heap: list[tuple[float, int, int, int, int]] = []
+
+        def push(i: int) -> None:
+            j = nxt[i]
+            if j == -1:
+                return
+            merged = self.vocabulary.get(vals[i]) + self.vocabulary.get(vals[j])
+            m = self.vocabulary.index_of(merged)
+            if m is not None:
+                # (-score, left position) orders by score desc then leftmost;
+                # stale entries are detected by the recorded pair values
+                heapq.heappush(heap, (-self.vocabulary.score(m), i, vals[i], vals[j], m))
+
+        for i in range(n - 1):
+            push(i)
+        while heap:
+            _, i, vi, vj, m = heapq.heappop(heap)
+            j = nxt[i]
+            if not alive[i] or j == -1 or vals[i] != vi or vals[j] != vj:
+                continue  # stale: one side already merged away
+            vals[i] = m
+            alive[j] = False
+            nxt[i] = nxt[j]
+            if nxt[j] != -1:
+                prv[nxt[j]] = i
+            if prv[i] != -1:
+                push(prv[i])
+            push(i)
+        return [vals[i] for i in range(n) if alive[i]]
+
+    def _encode_ordinary_slow(self, text: str) -> list[int]:
+        """Direct transcription of the merge rule (reference semantics,
+        MistralTokenizer.java:82-137): rescan all adjacent pairs, merge the
+        best-scoring one, repeat. O(n^2) — kept as the oracle the fast
+        heap encoder is tested against (tests/test_tokenizer.py)."""
+        ids = self._char_ids(text)
         while True:
             best_score, best_idx, best_id = -1e10, -1, -1
             for i in range(len(ids) - 1):
