@@ -58,18 +58,27 @@ def bench_pp(engine, n: int, depth: int, reps: int, warmup: int = 1) -> BenchRes
 
 
 def bench_tg(engine, n: int, depth: int, reps: int, warmup: int = 1) -> BenchResult:
+    """Autoregressive decode via device-side windows (engine.decode_window_run)
+    — the production decode path. A per-token decode_step loop measures the
+    host<->device round trip instead (one ~30 ms relay RTT per token on this
+    chip, capping every model at ~30 tok/s); that is NOT how the engine
+    decodes, so the tool reported numbers its own `run` command beat 10x."""
     vocab = engine.cfg.vocab_size
-    feed = _rand_tokens(n, vocab)
     depth_toks = _rand_tokens(max(depth, 1), vocab, seed=7)
     times = []
     for rep in range(warmup + reps):
         engine.reset()
-        engine.prefill(depth_toks, 0)  # untimed: establishes pos
-        pos = len(depth_toks)
+        tok, _ = engine.prefill(depth_toks, 0)  # untimed: establishes pos
+        cur, pos = int(tok[0]), len(depth_toks)
         t0 = time.perf_counter()
-        for i in range(n):
-            engine.decode_step(feed[i], pos)
-            pos += 1
+        done = 0
+        while done < n:
+            w = engine.decode_window_run(cur, pos, n - done)
+            if not w:
+                break
+            cur = w[-1]
+            pos += len(w)
+            done += len(w)
         dt = time.perf_counter() - t0
         if rep >= warmup:
             times.append(dt)

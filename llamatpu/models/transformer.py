@@ -188,7 +188,8 @@ def _moe_ffn(cfg: ModelConfig, h, lw, impl, ep_mesh=None, slw=None, li=None):
 
         nk = b * t * cfg.n_experts_used
         tm = 128 if nk >= 1024 else (8 if nk <= 64 else 32)
-        routed = moe_ffn_grouped(cfg, hf, top_w, top_i, lw, tm=tm).astype(h.dtype)
+        routed = moe_ffn_grouped(cfg, hf, top_w, top_i, lw, tm=tm,
+                                 slw=slw, li=li).astype(h.dtype)
         return _moe_shared(cfg, h, hf, routed, lw, impl, slw, li)
 
     def one_token(hv, ws, ids):

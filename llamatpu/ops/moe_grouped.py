@@ -87,18 +87,29 @@ def sort_by_expert(top_i, n_experts: int, tm: int):
 
 
 # ----------------------------------------------------------------- kernel
-def _gkernel(te_ref, x_ref, w_ref, s_ref, o_ref, *, dot_dtype, interleaved, mdim=0):
+# `stacked` variants take the full [L, E, O, I] expert stack plus a scalar-
+# prefetched layer index (blocks [1, 1, TO, ...]): the forward scans layers
+# with the stacks closed over, so XLA never materializes a per-layer expert
+# slice — for Qwen1.5-MoE that slice copy is the WHOLE layer's 60-expert
+# weight set (~250 MB/layer) while the kernel only reads the top-4 experts.
+
+
+def _gkernel(te_ref, *rest, dot_dtype, interleaved, mdim=0, stacked=False):
     # tile_expert < 0 marks an INACTIVE tile (expert-parallel: assignments
     # belonging to other devices): skip the dot entirely — the index maps
     # clamp to block 0 so no new weight DMA is issued either, and the output
     # rows are zeroed (their routing weights are 0 anyway).
+    if stacked:
+        li_ref, x_ref, w_ref, s_ref, o_ref = rest
+    else:
+        x_ref, w_ref, s_ref, o_ref = rest
     mi = pl.program_id(mdim)
     active = te_ref[mi] >= 0
 
     @pl.when(active)
     def _():
-        w = w_ref[0]                          # [TO, I] int8
-        s = s_ref[0].astype(jnp.float32)      # [TO, I/32]
+        w = w_ref[0, 0] if stacked else w_ref[0]      # [TO, I] int8
+        s = (s_ref[0, 0] if stacked else s_ref[0]).astype(jnp.float32)  # [TO, I/32]
         to, i = w.shape
         nb = i // BLOCK
         if interleaved:
@@ -121,15 +132,22 @@ def _gkernel(te_ref, x_ref, w_ref, s_ref, o_ref, *, dot_dtype, interleaved, mdim
         o_ref[:] = jnp.zeros_like(o_ref)
 
 
-def _gkernel_packed4(te_ref, xl_ref, xh_ref, w_ref, s_ref, o_ref, *, dot_dtype, mdim=0):
+def _gkernel_packed4(te_ref, *rest, dot_dtype, mdim=0, stacked=False):
     from llamatpu.ops.pallas_matmul import unpack4_halves
 
+    if stacked:
+        li_ref, xl_ref, xh_ref, w_ref, s_ref, o_ref = rest
+    else:
+        xl_ref, xh_ref, w_ref, s_ref, o_ref = rest
     mi = pl.program_id(mdim)
     active = te_ref[mi] >= 0
 
     @pl.when(active)
     def _():
-        wl, wh = unpack4_halves(w_ref[0], s_ref[0], dot_dtype)
+        if stacked:
+            wl, wh = unpack4_halves(w_ref[0, 0], s_ref[0, 0], dot_dtype)
+        else:
+            wl, wh = unpack4_halves(w_ref[0], s_ref[0], dot_dtype)
         dn = (((1,), (1,)), ((), ()))
         o_ref[:] = (
             jax.lax.dot_general(xl_ref[:].astype(dot_dtype), wl, dn,
@@ -142,13 +160,17 @@ def _gkernel_packed4(te_ref, xl_ref, xh_ref, w_ref, s_ref, o_ref, *, dot_dtype, 
         o_ref[:] = jnp.zeros_like(o_ref)
 
 
-def _gkernel_dense(te_ref, x_ref, w_ref, o_ref, *, dot_dtype, mdim=0):
+def _gkernel_dense(te_ref, *rest, dot_dtype, mdim=0, stacked=False):
+    if stacked:
+        li_ref, x_ref, w_ref, o_ref = rest
+    else:
+        x_ref, w_ref, o_ref = rest
     mi = pl.program_id(mdim)
     active = te_ref[mi] >= 0
 
     @pl.when(active)
     def _():
-        wd = w_ref[0].astype(dot_dtype)
+        wd = (w_ref[0, 0] if stacked else w_ref[0]).astype(dot_dtype)
         x = x_ref[:].astype(dot_dtype)
         o_ref[:] = jax.lax.dot_general(
             x, wd, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -167,14 +189,27 @@ def _pick_to(o: int, i: int, wbytes: float) -> int:
     return o
 
 
-def _specs(tm, to, m_fastest):
+def _specs(tm, to, m_fastest, stacked=False):
     """Grid + index maps for both iteration orders.
 
     Default (oi fastest): the x block is constant over each m-tile's oi-run —
     right for prefill where x tiles are large. m_fastest (decode/tiny Mp):
     consecutive programs share oi, so runs of INACTIVE tiles (clamped to
     weight block 0) keep an identical weight index and issue no DMA at all,
-    and x tiles are tiny so re-fetching them per program is cheap."""
+    and x tiles are tiny so re-fetching them per program is cheap.
+
+    stacked: weights are the [L, E, O, I] stack; maps take a second scalar-
+    prefetch ref (the layer index) and pick (li, expert, oi)."""
+    if stacked:
+        if m_fastest:
+            xmap = lambda oi, mi, te, li: (mi, 0)
+            wmap = lambda oi, mi, te, li: (li[0], jnp.maximum(te[mi], 0), oi, 0)
+            omap = lambda oi, mi, te, li: (mi, oi)
+            return (lambda mp_t, o_t: (o_t, mp_t)), xmap, wmap, omap, 1
+        xmap = lambda mi, oi, te, li: (mi, 0)
+        wmap = lambda mi, oi, te, li: (li[0], jnp.maximum(te[mi], 0), oi, 0)
+        omap = lambda mi, oi, te, li: (mi, oi)
+        return (lambda mp_t, o_t: (mp_t, o_t)), xmap, wmap, omap, 0
     if m_fastest:
         xmap = lambda oi, mi, te: (mi, 0)
         wmap = lambda oi, mi, te: (jnp.maximum(te[mi], 0), oi, 0)
@@ -188,19 +223,23 @@ def _specs(tm, to, m_fastest):
 
 @functools.partial(jax.jit, static_argnames=("tm", "interpret", "layout", "m_fastest"))
 def _grouped_matmul_q(qs, scales, x_sorted, tile_expert, tm, interpret, layout,
-                      m_fastest=False):
+                      m_fastest=False, li=None):
     packed = layout == "packed4"
-    e, o, wi = qs.shape
+    stacked = li is not None
+    e, o, wi = qs.shape[-3:]
     i = wi * 2 if packed else wi
     mp = x_sorted.shape[0]
     to = _pick_to(o, i, 0.5 if packed else 1)
     dot_dtype = jnp.float32 if x_sorted.dtype == jnp.float32 else jnp.bfloat16
-    grid_of, xmap, wmap, omap, mdim = _specs(tm, to, m_fastest)
-    w_specs = [pl.BlockSpec((1, to, wi), wmap),
-               pl.BlockSpec((1, to, i // BLOCK), wmap)]
+    grid_of, xmap, wmap, omap, mdim = _specs(tm, to, m_fastest, stacked)
+    wb = (1, 1) if stacked else (1,)
+    w_specs = [pl.BlockSpec(wb + (to, wi), wmap),
+               pl.BlockSpec(wb + (to, i // BLOCK), wmap)]
+    npf = 2 if stacked else 1
+    pref = (tile_expert,) + ((jnp.asarray(li, jnp.int32).reshape(1),) if stacked else ())
     if packed:
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=npf,
             grid=grid_of(mp // tm, o // to),
             in_specs=[pl.BlockSpec((tm, i // 2), xmap),
                       pl.BlockSpec((tm, i // 2), xmap),
@@ -208,55 +247,67 @@ def _grouped_matmul_q(qs, scales, x_sorted, tile_expert, tm, interpret, layout,
             out_specs=pl.BlockSpec((tm, to), omap),
         )
         return pl.pallas_call(
-            functools.partial(_gkernel_packed4, dot_dtype=dot_dtype, mdim=mdim),
+            functools.partial(_gkernel_packed4, dot_dtype=dot_dtype, mdim=mdim,
+                              stacked=stacked),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((mp, o), jnp.float32),
             interpret=interpret,
-        )(tile_expert, x_sorted[:, : i // 2], x_sorted[:, i // 2:], qs, scales)
+        )(*pref, x_sorted[:, : i // 2], x_sorted[:, i // 2:], qs, scales)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=npf,
         grid=grid_of(mp // tm, o // to),
         in_specs=[pl.BlockSpec((tm, i), xmap), *w_specs],
         out_specs=pl.BlockSpec((tm, to), omap),
     )
     return pl.pallas_call(
         functools.partial(_gkernel, dot_dtype=dot_dtype,
-                          interleaved=(layout == "interleaved"), mdim=mdim),
+                          interleaved=(layout == "interleaved"), mdim=mdim,
+                          stacked=stacked),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((mp, o), jnp.float32),
         interpret=interpret,
-    )(tile_expert, x_sorted, qs, scales)
+    )(*pref, x_sorted, qs, scales)
 
 
 @functools.partial(jax.jit, static_argnames=("tm", "interpret", "m_fastest"))
-def _grouped_matmul_dense(w, x_sorted, tile_expert, tm, interpret, m_fastest=False):
-    e, o, i = w.shape
+def _grouped_matmul_dense(w, x_sorted, tile_expert, tm, interpret,
+                          m_fastest=False, li=None):
+    stacked = li is not None
+    e, o, i = w.shape[-3:]
     mp = x_sorted.shape[0]
     to = _pick_to(o, i, 2)
     dot_dtype = jnp.float32 if x_sorted.dtype == jnp.float32 else jnp.bfloat16
-    grid_of, xmap, wmap, omap, mdim = _specs(tm, to, m_fastest)
+    grid_of, xmap, wmap, omap, mdim = _specs(tm, to, m_fastest, stacked)
+    wb = (1, 1) if stacked else (1,)
+    npf = 2 if stacked else 1
+    pref = (tile_expert,) + ((jnp.asarray(li, jnp.int32).reshape(1),) if stacked else ())
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=npf,
         grid=grid_of(mp // tm, o // to),
         in_specs=[pl.BlockSpec((tm, i), xmap),
-                  pl.BlockSpec((1, to, i), wmap)],
+                  pl.BlockSpec(wb + (to, i), wmap)],
         out_specs=pl.BlockSpec((tm, to), omap),
     )
     return pl.pallas_call(
-        functools.partial(_gkernel_dense, dot_dtype=dot_dtype, mdim=mdim),
+        functools.partial(_gkernel_dense, dot_dtype=dot_dtype, mdim=mdim,
+                          stacked=stacked),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((mp, o), jnp.float32),
         interpret=interpret,
-    )(tile_expert, x_sorted, w)
+    )(*pref, x_sorted, w)
 
 
 # below this many m-tiles, iterate the grid m-fastest (see _specs)
 _M_FASTEST_MAX_TILES = 8
 
 
-def grouped_matmul(w, x_sorted, tile_expert, tm: int, interpret: bool | None = None):
+def grouped_matmul(w, x_sorted, tile_expert, tm: int, interpret: bool | None = None,
+                   li=None):
     """y[Mp, O] = x_sorted[Mp, I] @ W[tile_expert[row//tm]]^T (tile-aligned
-    grouped matmul; W: QTensor [E, O, I] or dense [E, O, I])."""
+    grouped matmul; W: QTensor [E, O, I] or dense [E, O, I] — or the full
+    [L, E, O, I] layer stack with `li`, which DMAs layer li's expert blocks
+    directly so the forward's layer scan never materializes a per-layer
+    expert-slice copy)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     m_fastest = x_sorted.shape[0] // tm <= _M_FASTEST_MAX_TILES
@@ -267,17 +318,20 @@ def grouped_matmul(w, x_sorted, tile_expert, tm: int, interpret: bool | None = N
 
             x = interleave_activation(x_sorted)
         return _grouped_matmul_q(w.qs, w.scales, x, tile_expert, tm, interpret,
-                                 w.layout, m_fastest)
-    return _grouped_matmul_dense(w, x_sorted, tile_expert, tm, interpret, m_fastest)
+                                 w.layout, m_fastest, li=li)
+    return _grouped_matmul_dense(w, x_sorted, tile_expert, tm, interpret,
+                                 m_fastest, li=li)
 
 
 # ----------------------------------------------------------------- FFN
-def grouped_ffn(lw, hf, top_w, row_token, row_src, tile_expert, tm: int):
+def grouped_ffn(lw, hf, top_w, row_token, row_src, tile_expert, tm: int,
+                slw=None, li=None):
     """gate/up/act/down over expert-sorted rows + weighted combine back to
     tokens. Shared by the single-device and expert-parallel paths.
     Scatter-free: routing weights gather through row_src and the per-token
     combine is a one-hot matmul on the MXU (XLA's TPU scatter-add would
-    serialize per row)."""
+    serialize per row). With slw/li, the expert weights come from the full
+    [L, E, O, I] stacks (layer picked in-kernel; no per-layer slice copy)."""
     n, d = hf.shape
 
     hf_pad = jnp.concatenate([hf, jnp.zeros((1, d), hf.dtype)], axis=0)
@@ -290,13 +344,19 @@ def grouped_ffn(lw, hf, top_w, row_token, row_src, tile_expert, tm: int):
         lo = getattr(w, "logical_out", 0)
         return y[:, :lo] if lo else y
 
-    gate = unpad(grouped_matmul(lw["gate_exps"], x_sorted, tile_expert, tm),
-                 lw["gate_exps"])
-    up = unpad(grouped_matmul(lw["up_exps"], x_sorted, tile_expert, tm),
-               lw["up_exps"])
+    def pick(key):
+        w = None if slw is None else slw.get(key)
+        if li is not None and isinstance(w, QTensor) and w.qs.ndim == 4:
+            return w, li
+        return lw[key], None
+
+    wg, lg = pick("gate_exps")
+    wu, lu = pick("up_exps")
+    wd_, ld = pick("down_exps")
+    gate = unpad(grouped_matmul(wg, x_sorted, tile_expert, tm, li=lg), wg)
+    up = unpad(grouped_matmul(wu, x_sorted, tile_expert, tm, li=lu), wu)
     act = (jax.nn.silu(gate) * up).astype(hf.dtype)                # [Mp, MH]
-    down = unpad(grouped_matmul(lw["down_exps"], act, tile_expert, tm),
-                 lw["down_exps"])                                  # [Mp, D]
+    down = unpad(grouped_matmul(wd_, act, tile_expert, tm, li=ld), wd_)  # [Mp, D]
 
     # per-token combine: one-hot [N, Mp] @ weighted rows [Mp, D] (pad rows
     # have row_token == n and match nothing)
@@ -307,10 +367,11 @@ def grouped_ffn(lw, hf, top_w, row_token, row_src, tile_expert, tm: int):
                                preferred_element_type=jnp.float32)
 
 
-def moe_ffn_grouped(cfg, hf, top_w, top_i, lw, tm: int = 128):
+def moe_ffn_grouped(cfg, hf, top_w, top_i, lw, tm: int = 128, slw=None, li=None):
     """Routed-expert FFN over N tokens via grouped matmuls. hf: [N, D];
     top_w/top_i: [N, k]. Returns routed output [N, D] f32 (shared expert is
     handled by the caller). Semantics identical to the per-token scan path
     (top-k without renorm)."""
     row_token, row_src, tile_expert = sort_by_expert(top_i, cfg.n_experts, tm)
-    return grouped_ffn(lw, hf, top_w, row_token, row_src, tile_expert, tm)
+    return grouped_ffn(lw, hf, top_w, row_token, row_src, tile_expert, tm,
+                       slw=slw, li=li)

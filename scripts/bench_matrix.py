@@ -58,8 +58,13 @@ def bench_preset(name: str, quant: str = "q8_0", pp: int = 512, tg: int = 128):
 
 
 def main() -> int:
+    # default matrix covers the HBM-stressing large models too (q4_0p = packed
+    # nibbles), so perf-history guards the rows that regress under memory
+    # pressure, not just the small presets
     presets = sys.argv[1:] or ["llama32-1b", "qwen3-0.6b", "qwen25-1.5b",
-                               "phi3-mini", "granite-3.2-2b"]
+                               "phi3-mini", "granite-3.2-2b",
+                               "llama3-8b:q4_0p", "mistral-7b:q4_0p",
+                               "qwen15-moe-a2.7b:q4_0p"]
     rows = []
     for p in presets:
         try:

@@ -54,3 +54,36 @@ def test_q8_0_ppl_tracks_f32(tmp_path):
     q8 = perplexity(_load(tmp_path, GGMLType.Q8_0, "quant"), ids, chunk=8, cache_len=32)["ppl"]
     # same random weights, Q8_0-rounded: ppl must be within a few percent
     assert abs(q8 - f32) / f32 < 0.05
+
+
+def test_long_text_sliding_window_counts_every_token(tmp_path):
+    """Texts longer than the cache must score EVERY target once via sliding
+    windows (round-1 regression: silently truncated to the first cache_len)."""
+    model = _load(tmp_path, GGMLType.F32, "dequant")
+    ids = [int(i) for i in np.random.default_rng(3).integers(0, model.cfg.vocab_size, 70)]
+    r = perplexity(model, ids, chunk=8, cache_len=24)  # 3 windows minimum
+    assert r["tokens"] == len(ids) - 1
+    assert math.isfinite(r["ppl"]) and r["ppl"] > 0
+
+
+def test_sliding_window_matches_full_context_scoring(tmp_path):
+    """With stride == cache_len - chunk overlap... sanity: the sliding result
+    over a text that FITS the cache must equal single-window scoring exactly
+    (window logic must not change the short-text path)."""
+    model = _load(tmp_path, GGMLType.F32, "dequant")
+    ids = [int(i) for i in np.random.default_rng(4).integers(0, model.cfg.vocab_size, 30)]
+    full = perplexity(model, ids, chunk=8, cache_len=32)
+    assert full["tokens"] == len(ids) - 1
+    want = per_token_ppl(model, ids)
+    assert abs(full["ppl"] - want) / want < 1e-3
+
+
+def test_sliding_window_context_quality(tmp_path):
+    """Each window re-ingests cache_len - stride tokens as context, so the
+    sliding ppl must land close to the infinite-context ppl (here: a cache
+    that fits the whole text) — NOT the ppl of independent fragments."""
+    model = _load(tmp_path, GGMLType.F32, "dequant")
+    ids = [int(i) for i in np.random.default_rng(5).integers(0, model.cfg.vocab_size, 64)]
+    full = perplexity(model, ids, chunk=8, cache_len=64)["ppl"]
+    slid = perplexity(model, ids, chunk=8, cache_len=32)["ppl"]
+    assert abs(slid - full) / full < 0.25  # random tiny model: loose bound
