@@ -1,0 +1,132 @@
+"""Hermetic quantization-parity harness: the ppl table BASELINE.json demands
+(Q8_0 within ~0.01 of FP16; Q4_0 within GGUF's stated delta), measurable with
+zero egress.
+
+Method: ONE f32 master checkpoint at production geometry (seeded synthetic
+weights), a fixed corpus SAMPLED FROM THE MASTER ITSELF (so the scored tokens
+sit in the model's own high-probability region — quantization error shows up
+in the NLL instead of washing out against random-token entropy), then every
+quantization variant derives from the same master by the exact ggml encode
+(gguf/quants.py, bit-oracle-tested) and scores the same corpus:
+
+  f32           dense float32 weights (the reference numerics)
+  bf16          dense bfloat16 (TPU-native dense serving dtype)
+  q8_0          Q8_0 via the fused bf16-dequant pallas kernel (serving default)
+  q8_0-int8dot  Q8_0 via the EXACT llama.cpp int8xint8 dot (ops/int8_matmul.py,
+                activations ggml-quantized per 32-block — the ppl-parity mode,
+                Q8_0FloatTensor.java:70-121)
+  q8_0-kvint8   q8_0 weights + int8 KV cache (ops/kv_quant.py)
+  q4_0          Q4_0 fused dequant
+  q4_0-pack4    Q4_0 packed nibbles (--pack4 storage)
+
+Caveat (documented, not hidden): the master is random, so absolute ppl values
+are meaningless; the DELTAS between variants measure numeric fidelity of each
+quantized compute path against f32 on identical weights, which is the claim a
+real-checkpoint run would also make. scripts/run_parity.py writes PARITY.md;
+tests/test_parity_gate.py gates the same deltas at tiny geometry in CI.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+VARIANTS = ("f32", "bf16", "q8_0", "q8_0-int8dot", "q8_0-kvint8",
+            "q4_0", "q4_0-pack4")
+
+# keys quantized in a real GGUF checkpoint (llama-family dense graph)
+_MATMUL_KEYS = ("wq", "wk", "wv", "wo", "w1", "w2", "w3")
+
+
+def build_master(preset: str, seed: int = 0, **overrides):
+    """Dense f32 model at `preset` geometry — the single source checkpoint."""
+    from llamatpu.models.synthetic import build_synthetic_model
+
+    return build_synthetic_model(preset, quant="none", dtype="f32", seed=seed,
+                                 overrides=overrides or None)
+
+
+def make_variant(master, variant: str):
+    """Derive a variant model from the master by the exact ggml encodes.
+    Returns (model, ppl_kwargs) where ppl_kwargs feed bench.perplexity."""
+    import jax.numpy as jnp
+
+    from llamatpu.models.loader import LoadedModel
+    from llamatpu.models.weights import (prepare_qtensor, quantize_array_q4_0,
+                                         quantize_array_q8_0)
+
+    kind = ("q8_0" if variant.startswith("q8_0")
+            else "q4_0" if variant.startswith("q4_0") else None)
+    pack4 = variant == "q4_0-pack4"
+    impl = ("int8" if variant == "q8_0-int8dot"
+            else "xla" if kind is None else "pallas")
+    cache_dtype = jnp.int8 if variant == "q8_0-kvint8" else jnp.float32
+
+    w = dict(master.weights)
+    lw = dict(w["layers"])
+
+    def conv(arr):
+        arr = np.asarray(arr)
+        if kind is None:
+            return arr.astype(np.float32 if variant == "f32" else jnp.bfloat16)
+        q = quantize_array_q8_0(arr) if kind == "q8_0" else quantize_array_q4_0(arr)
+        return prepare_qtensor(q, pack4=pack4)
+
+    for k in _MATMUL_KEYS:
+        if k in lw:
+            lw[k] = conv(lw[k])
+    w["layers"] = lw
+    w["wcls"] = conv(w["wcls"])
+    # token embedding: real checkpoints quantize it too; the lookup reads the
+    # dequantized values, so apply quantize->dequant to the dense table
+    if kind is not None:
+        emb_q = conv(w["tok_emb"])
+        w["tok_emb"] = np.asarray(emb_q.dequant(jnp.float32))
+    elif variant == "bf16":
+        w["tok_emb"] = np.asarray(w["tok_emb"]).astype(jnp.bfloat16)
+
+    model = LoadedModel(cfg=master.cfg, weights=w, metadata=dict(master.metadata),
+                        family=master.family, quant_label=variant)
+    return model, dict(impl=impl, dtype=cache_dtype)
+
+
+def sample_corpus(master, n: int, seed: int = 42, prompt_len: int = 8):
+    """Corpus = the master's own temperature-0.8 sample (seeded) so scored
+    tokens live where the model puts probability mass."""
+    import jax.numpy as jnp
+
+    from llamatpu.runtime.engine import Engine
+
+    rng = np.random.default_rng(seed)
+    prompt = rng.integers(0, master.cfg.vocab_size, prompt_len).tolist()
+    eng = Engine(master, cache_len=min(n + prompt_len + 8, master.cfg.context_length),
+                 temperature=0.8, seed=seed, cache_dtype=jnp.float32,
+                 impl="xla", aot_compile=False)
+    res = eng.generate(prompt, n - prompt_len)
+    del eng
+    return prompt + list(res.tokens)
+
+
+def parity_table(preset: str = "llama32-1b", corpus_len: int = 1024,
+                 cache_len: int = 512, seed: int = 0,
+                 variants=VARIANTS, **overrides) -> list[dict]:
+    from llamatpu.bench.perplexity import perplexity
+
+    assert variants[0] == "f32", "the first variant anchors the deltas"
+    master = build_master(preset, seed=seed, **overrides)
+    corpus = sample_corpus(master, corpus_len)
+    rows = []
+    base_ppl = None
+    # chunk=16 for EVERY variant: (a) the exact-int8 dot only covers T<=16
+    # (ops/int8_matmul._T_LIMIT), and (b) chunk feeds the sliding-window
+    # stride rounding — deltas are only meaningful when every variant scores
+    # IDENTICAL windows with identical context
+    for v in variants:
+        model, kw = make_variant(master, v)
+        r = perplexity(model, corpus, chunk=16, cache_len=cache_len,
+                       stride=cache_len // 2, **kw)
+        if v == "f32":
+            base_ppl = r["ppl"]
+        rows.append({"variant": v, "ppl": r["ppl"], "tokens": r["tokens"],
+                     "delta": r["ppl"] - base_ppl if base_ppl else 0.0,
+                     "rel": (r["ppl"] - base_ppl) / base_ppl if base_ppl else 0.0})
+        del model
+    return rows

@@ -1,0 +1,120 @@
+"""Serving-path latency benchmark: TTFT and inter-token gaps under concurrent
+load through the ContinuousBatcher — the numbers interleaved chunked prefill
+exists for (the reference serializes whole requests behind one lock,
+InferenceService.java:58-99, so its p99 inter-token gap under load is a whole
+request's latency).
+
+Measures, per scenario:
+  - TTFT p50/p99 (submit -> first token, includes queueing + chunked prefill)
+  - inter-token gap p50/p99 across all streams (streaming granularity is the
+    decode window — gaps within a window are ~0, window boundaries dominate)
+  - aggregate decode throughput
+  - ADVERSARY phase: with lanes decoding, a long-prompt request lands
+    mid-stream; reports the running lanes' worst inter-token stall during its
+    admission+prefill (bounded by interleave_decode_steps, not the prompt)
+  - prefix-cache warm TTFT + cached-token hit rate (paged engine)
+"""
+from __future__ import annotations
+
+import threading
+import time
+
+import numpy as np
+
+
+def _pct(xs, q):
+    return float(np.percentile(np.asarray(xs), q)) if xs else float("nan")
+
+
+class _Timed:
+    def __init__(self, batcher, prompt, max_new):
+        from llamatpu.runtime.scheduler import BatchRequest
+
+        self.submit_t = time.perf_counter()
+        self.stream = batcher.submit(BatchRequest(prompt, max_new))
+        self.token_t: list[float] = []
+        self.thread = threading.Thread(target=self._drain, daemon=True)
+        self.thread.start()
+
+    def _drain(self):
+        for _ in self.stream:
+            self.token_t.append(time.perf_counter())
+
+    def join(self):
+        self.thread.join(timeout=600)
+
+    @property
+    def ttft(self):
+        return self.token_t[0] - self.submit_t if self.token_t else float("nan")
+
+    @property
+    def gaps(self):
+        return [b - a for a, b in zip(self.token_t, self.token_t[1:])]
+
+
+def run_latency_bench(engine, *, n_requests=16, prompt_len=128, max_new=64,
+                      adversary_prompt_len=1024, interleave_decode_steps=4,
+                      seed=42) -> dict:
+    """engine: BatchEngine or PagedBatchEngine (already constructed)."""
+    from llamatpu.runtime.scheduler import ContinuousBatcher
+
+    rng = np.random.default_rng(seed)
+    vocab = engine.cfg.vocab_size
+
+    def prompt(n, s):
+        return rng.integers(0, vocab, n).tolist()
+
+    batcher = ContinuousBatcher(engine, stop_tokens=set(),
+                                interleave_decode_steps=interleave_decode_steps)
+    try:
+        # warm the compiled shapes
+        warm = _Timed(batcher, prompt(prompt_len, 0), 8)
+        warm.join()
+
+        # phase 1: steady concurrent load
+        reqs = [_Timed(batcher, prompt(prompt_len, i), max_new)
+                for i in range(n_requests)]
+        # phase 2: adversary long prompt lands while lanes are decoding
+        time.sleep(max(2 * warm.gaps[0] if len(warm.token_t) > 1 else 0.05, 0.05))
+        adv_t0 = time.perf_counter()
+        adv = _Timed(batcher, prompt(adversary_prompt_len, 99), 8)
+        adv.join()
+        adv_t1 = adv.token_t[0] if adv.token_t else time.perf_counter()
+        for r in reqs:
+            r.join()
+
+        gaps = [g for r in reqs for g in r.gaps]
+        # stalls of ALREADY-RUNNING streams during the adversary's prefill
+        stall = [b - a for r in reqs
+                 for a, b in zip(r.token_t, r.token_t[1:])
+                 if adv_t0 <= a and b <= adv_t1 + 0.5]
+        total_tokens = sum(len(r.token_t) for r in reqs)
+        t_span = max(t for r in reqs for t in r.token_t) - min(r.submit_t for r in reqs)
+        out = {
+            "n_requests": n_requests, "prompt_len": prompt_len, "max_new": max_new,
+            "ttft_p50_s": round(_pct([r.ttft for r in reqs], 50), 4),
+            "ttft_p99_s": round(_pct([r.ttft for r in reqs], 99), 4),
+            "itg_p50_ms": round(_pct(gaps, 50) * 1e3, 3),
+            "itg_p99_ms": round(_pct(gaps, 99) * 1e3, 3),
+            "agg_decode_tok_s": round(total_tokens / t_span, 1),
+            "adversary_prompt_len": adversary_prompt_len,
+            "adversary_ttft_s": round(adv.ttft, 4),
+            # null (not NaN — invalid JSON) when every stream finished before
+            # the adversary landed (tiny CPU runs)
+            "stall_during_adversary_p99_ms":
+                round(_pct(stall, 99) * 1e3, 3) if stall else None,
+        }
+
+        # phase 3: prefix-cache warm repeat (paged engines)
+        if getattr(engine, "prefix_cache", False):
+            p = prompt(prompt_len, 7)
+            cold = _Timed(batcher, p, 8)
+            cold.join()
+            warm2 = _Timed(batcher, p, 8)
+            warm2.join()
+            out["prefix_cold_ttft_s"] = round(cold.ttft, 4)
+            out["prefix_warm_ttft_s"] = round(warm2.ttft, 4)
+            out["prefix_cached_tokens"] = warm2.stream.cached_tokens
+        return out
+    finally:
+        batcher.shutdown()

@@ -21,10 +21,13 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--model", "-m", required=True, help="path to GGUF checkpoint")
         sp.add_argument("--max-tokens", "-n", type=int, default=512,
                         help="max total tokens (prompt + generation), clamps context")
-        sp.add_argument("--impl", choices=["auto", "xla", "pallas"], default="auto",
+        sp.add_argument("--impl", choices=["auto", "xla", "pallas", "int8"], default="auto",
                         help="kernel implementation: auto = pallas on TPU "
                              "(fused dequant-matmul + decode attention), "
-                             "xla elsewhere")
+                             "xla elsewhere; int8 = exact llama.cpp Q8_0 "
+                             "numerics (activations quantized per-32 block, "
+                             "int8xint8 int32-accumulated dot — the ppl-parity "
+                             "mode, ops/int8_matmul.py; decode/ppl widths only)")
         sp.add_argument("--dtype", choices=["bf16", "f32"], default="bf16",
                         help="activation/weight compute dtype")
         sp.add_argument("--kv-dtype", choices=["auto", "bf16", "f32", "int8"],
@@ -99,6 +102,18 @@ def build_parser() -> argparse.ArgumentParser:
     conv = sub.add_parser("convert", help="requantize a GGUF checkpoint to Q8_0")
     conv.add_argument("--model", "-m", required=True)
     conv.add_argument("--output", "-o", required=True)
+
+    val = sub.add_parser("validate", help="one-command checkpoint validation: "
+                         "tokenizer fidelity, finite forward, greedy sample, "
+                         "golden-token comparison, quick ppl")
+    common(val)
+    val.add_argument("--golden", default=None,
+                     help="golden fixture JSON to compare against (default: "
+                          "fixtures/golden/<family>.json if present)")
+    val.add_argument("--update-golden", action="store_true",
+                     help="write the observed outputs as the golden fixture")
+    val.add_argument("--prompt", "-p", default="The capital of France is",
+                     help="deterministic probe prompt")
 
     bench = sub.add_parser("bench", help="llama-bench style pp/tg matrix")
     common(bench)
@@ -256,6 +271,10 @@ def main(argv=None) -> int:
         return cmd_bench(args)
     if args.command == "ppl":
         return cmd_ppl(args)
+    if args.command == "validate":
+        from llamatpu.bench.validate import validate
+
+        return validate(args)
     build_parser().print_help()
     return 1
 

@@ -45,6 +45,34 @@ PRESETS: dict[str, dict] = {
                            embedding_scale=12.0, residual_scale=0.22,
                            attention_scale=0.015625, logit_scale=0.125,
                            tied_embeddings=True),
+    # Granite-4.0-1B (BASELINE.md publishes reference rows for it): µP scales
+    # are the reference GraniteLoader defaults (GraniteLoader.java:55-58 —
+    # embedding 12.0, residual 0.22, attention 0.0078125, logit 1/16);
+    # geometry approximated to the model's ~1.2B dense budget over the
+    # Granite-4 100k vocab (zero egress — swap in GGUF metadata when a real
+    # checkpoint is reachable)
+    "granite-4.0-1b": dict(family=Family.GRANITE, dim=2048, hidden_dim=6144,
+                           n_layers=20, n_heads=32, n_kv_heads=8, head_dim=64,
+                           vocab_size=100352, context_length=4096,
+                           rope_theta=10000000.0, rms_norm_eps=1e-5,
+                           embedding_scale=12.0, residual_scale=0.22,
+                           attention_scale=0.0078125, logit_scale=0.0625,
+                           tied_embeddings=True),
+    # Devstral Small 2 (24B, Mistral-Small-3.1 base: DevstralModelLoader.java;
+    # Tekken 131k vocab). Fits one 16G chip only as q4_0 packed (~12 GiB).
+    "devstral-small-2": dict(family=Family.DEVSTRAL_2, dim=5120, hidden_dim=32768,
+                             n_layers=40, n_heads=32, n_kv_heads=8, head_dim=128,
+                             vocab_size=131072, context_length=4096,
+                             rope_theta=1000000000.0, rms_norm_eps=1e-5),
+    # DeepSeek-R1-Distill-Qwen-1.5B: Qwen2.5-1.5B geometry under the distill
+    # chat format (forced <think>, format/chat_format.py)
+    "deepseek-r1-distill-1.5b": dict(family=Family.DEEPSEEK_R1_DISTILL_QWEN,
+                                     dim=1536, hidden_dim=8960, n_layers=28,
+                                     n_heads=12, n_kv_heads=2, head_dim=128,
+                                     vocab_size=151936, context_length=4096,
+                                     rope_theta=1000000.0, rms_norm_eps=1e-6,
+                                     rope_style="neox", qkv_bias=True,
+                                     tied_embeddings=True),
     # Qwen1.5-MoE-A2.7B: the reference's Qwen 2 MoE target geometry
     # (model/qwen2/Qwen2MoEConfiguration.java; 60 experts, top-4 w/o renorm,
     # always-on shared expert)
@@ -83,12 +111,14 @@ def _rand_dense(rng, shape, dtype):
 def build_synthetic_model(preset: str, quant: str = "q8_0", seed: int = 0,
                           dtype: str = "bf16", context_length: int | None = None,
                           n_layers: int | None = None,
-                          pack4: bool = False) -> LoadedModel:
+                          pack4: bool = False, overrides: dict | None = None) -> LoadedModel:
     kw = dict(PRESETS[preset])
     if context_length:
         kw["context_length"] = context_length
     if n_layers:
         kw["n_layers"] = n_layers
+    if overrides:  # tests: shrink vocab etc. without a new preset
+        kw.update(overrides)
     cfg = ModelConfig(**kw)
     rng = np.random.default_rng(seed)
 

@@ -288,7 +288,7 @@ def _write_scale_rows(c_all, snew, li, pos_vec, row0, gate):
 def make_layer_fn(cfg: ModelConfig, impl, b, t, pos_vec, cos, sin, *,
                   quantized=False, paged=False, block_size=None, tables=None,
                   s_limit: int | None = None, ep_mesh=None, batch_offset=None,
-                  write_gate=None, slw=None):
+                  write_gate=None, slw=None, tp_axis: str | None = None):
     """One transformer layer as a lax.scan step over stacked weights with the
     STACKED KV cache carried through the scan.
 
@@ -300,8 +300,17 @@ def make_layer_fn(cfg: ModelConfig, impl, b, t, pos_vec, cos, sin, *,
     is ever materialized. batch_offset: this window's rows live at
     [batch_offset, batch_offset + b) of the cache batch axis (pipeline
     microbatches / lane prefill). write_gate: traced bool — False suppresses
-    the cache writes (pipeline bubble steps)."""
+    the cache writes (pipeline bubble steps).
+
+    tp_axis: MANUAL tensor parallelism inside a shard_map (pipeline stages
+    compose tp this way — GSPMD can't see into the stage loop): cfg must
+    already carry the LOCAL head counts (n_heads/tp, n_kv_heads/tp), weights
+    arrive pre-sharded Megatron-style (q/k/v/w1/w3 rows, wo/w2 columns), and
+    the attention/FFN outputs psum over the axis."""
     kv, g = cfg.n_kv_heads, cfg.gqa_groups
+
+    def _tp_sum(y):
+        return jax.lax.psum(y, tp_axis) if tp_axis is not None else y
 
     def layer_fn(carry, per_layer):
         lw, li = per_layer
@@ -437,14 +446,17 @@ def make_layer_fn(cfg: ModelConfig, impl, b, t, pos_vec, cos, sin, *,
                 kd, vd = kd[:, :, :lim], vd[:, :, :lim]
             attn = _attention(cfg, q.reshape(b, t, kv, g, cfg.head_dim), kd, vd, pos_vec, t)
         attn = attn.reshape(b, t, kv * g * cfg.v_head_dim).astype(x.dtype)
-        attn_out = _mm(lw, slw, li, "wo", attn, impl)
+        attn_out = _tp_sum(_mm(lw, slw, li, "wo", attn, impl))
         if cfg.residual_scale != 1.0:
             attn_out = (attn_out.astype(jnp.float32) * cfg.residual_scale).astype(x.dtype)
         x = x + attn_out
 
         h2 = rmsnorm(x, lw["ffn_norm"], cfg.rms_norm_eps)
-        ffn = (_moe_ffn(cfg, h2, lw, impl, ep_mesh, slw, li) if cfg.is_moe
-               else _dense_ffn(cfg, h2, lw, impl, slw, li))
+        if cfg.is_moe:
+            assert tp_axis is None, "tp inside a pipeline stage is dense-only"
+            ffn = _moe_ffn(cfg, h2, lw, impl, ep_mesh, slw, li)
+        else:
+            ffn = _tp_sum(_dense_ffn(cfg, h2, lw, impl, slw, li))
         if cfg.residual_scale != 1.0:
             ffn = (ffn.astype(jnp.float32) * cfg.residual_scale).astype(x.dtype)
         x = x + ffn

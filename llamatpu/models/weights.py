@@ -146,6 +146,15 @@ def quantize_array_q8_0(arr: np.ndarray) -> QTensor:
     return qtensor_from_gguf(GGMLType.Q8_0, raw, tuple(arr.shape))
 
 
+def quantize_array_q4_0(arr: np.ndarray) -> QTensor:
+    """Quantize a float array (numpy) to a Q4_0 QTensor (ggml-order encode)."""
+    from llamatpu.gguf import quants
+    from llamatpu.gguf.ggml_type import GGMLType
+
+    raw = quants.quantize_q4_0(np.asarray(arr, dtype=np.float32).reshape(-1))
+    return qtensor_from_gguf(GGMLType.Q4_0, raw, tuple(arr.shape))
+
+
 def pad_qtensor_rows(w: QTensor, multiple: int = 128) -> QTensor:
     """Zero-pad the out-features axis to a lane multiple so the Pallas matmul
     can tile it; consumers slice y[..., :logical_out] (ops/matmul.py)."""

@@ -6,7 +6,7 @@ chip's HBM splits L layers into pp contiguous stages, each device holding
 L/pp layers and their KV stripes. The throughput motivation: microbatch
 pipelining (GPipe-style) keeps every stage busy during batched prefill/decode.
 
-Design (shard_map over the "pp" axis — manual SPMD, the scaling-book pipeline
+Design (shard_map over the mesh — manual SPMD, the scaling-book pipeline
 recipe; GSPMD alone would move WEIGHTS to activations for a scan over a
 layer-sharded axis, which is backwards):
 
@@ -21,14 +21,21 @@ layer-sharded axis, which is backwards):
   final hidden states, psum-broadcast after the loop
 - idle stages compute on garbage and mask their cache/output writes — the
   standard SPMD pipeline trade (bubble steps burn FLOPs, not correctness)
-- composes with dp (each dp row pipelines its own batch shard). tp/sp/ep do
-  not compose with pp yet (they'd need manual collectives inside the
-  shard_map); the engine asserts that combination away.
+- composes with dp (each dp row pipelines its own batch shard) AND with tp
+  INSIDE each stage (round 2): q/k/v/w1/w3 shard rows and wo/w2 columns over
+  "tp" (weight_shardings), the stage runs with LOCAL head counts, and the
+  attention/FFN outputs psum over "tp" (make_layer_fn tp_axis — manual
+  Megatron collectives, since GSPMD cannot see into the stage loop)
+- batch_offset maps a small window (one scheduler lane's prefill chunk) onto
+  its cache rows, so the continuous-batching engines can drive a pipelined
+  model (BatchEngine with pp>1)
 
-No paged-cache support (continuous batching + pp is a later round).
+No paged-cache support (pp shards the cache's L axis; the paged pool's block
+tables are position-indexed, not layer-indexed — a later round).
 """
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 
 import jax
@@ -46,35 +53,59 @@ from llamatpu.models.transformer import (KVCache, embed_tokens, finish_logits,
 from llamatpu.models.weights import QTensor
 
 
-def pp_layer_specs(layers: dict):
-    """Per-leaf PartitionSpecs sharding the leading (layer) axis over "pp"."""
+def pp_layer_specs(layers: dict, tp: int = 1):
+    """Per-leaf PartitionSpecs: leading (layer) axis over "pp", plus Megatron
+    row/column sharding over "tp" inside each stage when tp > 1."""
+    col = ("wq", "wk", "wv", "w1", "w3", "wqkv", "w13")
+    row = ("wo", "w2")
 
-    def leaf_spec(leaf):
+    def spec_for(name, leaf):
+        if tp > 1 and name in col:
+            s = P("pp", "tp", None)
+        elif tp > 1 and name in row:
+            s = P("pp", None, "tp")
+        elif tp > 1 and name in ("q_bias", "k_bias", "v_bias"):
+            s = P("pp", "tp")
+        else:
+            s = P("pp")
         if isinstance(leaf, QTensor):
-            return QTensor(P("pp"), P("pp"), leaf.kind, leaf.logical_out,
-                           leaf.layout)
-        return P("pp")
+            return QTensor(s, s, leaf.kind, leaf.logical_out, leaf.layout)
+        return s
 
-    return jax.tree.map(leaf_spec, layers,
-                        is_leaf=lambda x: isinstance(x, QTensor))
+    return {name: spec_for(name, leaf) for name, leaf in layers.items()}
 
 
 def forward_tokens_pp(cfg: ModelConfig, weights, tokens, cache, pos, mesh,
                       impl="xla", last_logit_only=False, logit_index=None,
-                      s_limit: int | None = None):
+                      s_limit: int | None = None, batch_offset=None):
     """Pipeline-parallel forward_tokens (dense KVCache only). Same contract as
     models/transformer.forward_tokens; `mesh` must carry a pp axis > 1 and the
-    layer weights / cache must already be sharded by parallel/shard.py."""
+    layer weights / cache must already be sharded by parallel/shard.py.
+    Composes with dp (batch shards) and tp (Megatron inside each stage).
+    batch_offset (dp == 1 only): the window's b rows live at cache rows
+    [batch_offset, batch_offset + b) — lane prefill for the batched engines."""
     pp = mesh.shape["pp"]
     dp = mesh.shape.get("dp", 1)
-    assert mesh.shape.get("tp", 1) == 1 and mesh.shape.get("sp", 1) == 1, \
-        "pp composes with dp only (tp/sp inside a pipeline stage: future work)"
+    tp = mesh.shape.get("tp", 1)
+    assert mesh.shape.get("sp", 1) == 1, "sp inside a pipeline stage: future work"
     assert cfg.n_layers % pp == 0, (cfg.n_layers, pp)
+    if tp > 1:
+        assert cfg.n_heads % tp == 0 and cfg.n_kv_heads % tp == 0, \
+            (cfg.n_heads, cfg.n_kv_heads, tp)
+        assert not cfg.is_moe, "tp inside a pipeline stage is dense-only"
     b, t = tokens.shape
     assert b % dp == 0, (b, dp)
+    if batch_offset is not None:
+        assert dp == 1, "batch_offset lane windows don't compose with dp"
     b_local = b // dp
     quantized = cache.quantized
     pos_vec = jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(pos)), (b,))
+
+    # stage-local head counts for tp (weights arrive row/column-sharded)
+    cfg_stage = (dataclasses.replace(cfg, n_heads=cfg.n_heads // tp,
+                                     n_kv_heads=cfg.n_kv_heads // tp)
+                 if tp > 1 else cfg)
+    tp_axis = "tp" if tp > 1 else None
 
     m_count = min(b_local, pp)
     while b_local % m_count:
@@ -88,9 +119,11 @@ def forward_tokens_pp(cfg: ModelConfig, weights, tokens, cache, pos, mesh,
     static_w = {k: weights[k] for k in ("tok_emb", "rope_cos", "rope_sin")}
     cache_args = (cache.k, cache.v) + (
         (cache.k_scale, cache.v_scale) if quantized else ())
-    kv_spec = P("pp", "dp")
+    tp_kv = "tp" if tp > 1 else None
+    kv_spec = P("pp", "dp", tp_kv)
 
     l_loc = cfg.n_layers // pp
+    off = 0 if batch_offset is None else batch_offset
 
     def stage_fn(layers_l, static_l, tokens_l, pos_l, *cache_l):
         s = jax.lax.axis_index("pp")
@@ -109,11 +142,13 @@ def forward_tokens_pp(cfg: ModelConfig, weights, tokens, cache, pos, mesh,
             cos = static_l["rope_cos"][positions][:, :, None, :]
             sin = static_l["rope_sin"][positions][:, :, None, :]
             # carry-form layer scan: the stage-local stacked cache flows
-            # through; this microbatch's rows start at r0 and bubble steps
-            # gate their writes off
-            layer_fn = make_layer_fn(cfg, impl, mb, t, pos_mb, cos, sin,
+            # through; this microbatch's rows start at off + r0 and bubble
+            # steps gate their writes off
+            layer_fn = make_layer_fn(cfg_stage, impl, mb, t, pos_mb, cos, sin,
                                      quantized=quantized, s_limit=s_limit,
-                                     batch_offset=r0, write_gate=valid)
+                                     batch_offset=off + r0, write_gate=valid,
+                                     tp_axis=tp_axis,
+                                     slw=layers_l if impl == "pallas" else None)
             carry_l, _ = jax.lax.scan(
                 layer_fn, (x,) + cache_l,
                 (layers_l, jnp.arange(l_loc, dtype=jnp.int32)))
@@ -133,7 +168,7 @@ def forward_tokens_pp(cfg: ModelConfig, weights, tokens, cache, pos, mesh,
 
     fn = shard_map(
         stage_fn, mesh=mesh,
-        in_specs=(pp_layer_specs(weights["layers"]),
+        in_specs=(pp_layer_specs(weights["layers"], tp),
                   jax.tree.map(lambda _: P(), static_w,
                                is_leaf=lambda x: isinstance(x, QTensor)),
                   P("dp", None), P("dp"),

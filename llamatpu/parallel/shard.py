@@ -58,20 +58,23 @@ def weight_shardings(cfg: ModelConfig, mesh: Mesh, weights: dict,
     pp = mesh.shape.get("pp", 1)
     if pp > 1:
         assert cfg.n_layers % pp == 0, (cfg.n_layers, pp)
+        from llamatpu.parallel.pipeline import pp_layer_specs
 
-        def pp_leaf(leaf):
-            if isinstance(leaf, QTensor):
-                s = ns(P("pp"))
-                return QTensor(s, s, leaf.kind, leaf.logical_out, leaf.layout)
-            return ns(P("pp"))
-
-        layers = {name: pp_leaf(leaf) for name, leaf in weights["layers"].items()}
+        # layer stages over "pp", Megatron row/col sharding over "tp" inside
+        # each stage (manual collectives in forward_tokens_pp)
+        layers = {
+            name: (QTensor(ns(spec.qs), ns(spec.scales), spec.kind,
+                           spec.logical_out, spec.layout)
+                   if isinstance(spec, QTensor) else ns(spec))
+            for name, spec in pp_layer_specs(weights["layers"], tp).items()
+        }
         wcls = weights["wcls"]
         rep = ns(P())
+        wcls_s = ns(P("tp", None)) if tp > 1 else rep
         return {
             "tok_emb": rep, "final_norm": rep,
-            "wcls": (QTensor(rep, rep, wcls.kind, wcls.logical_out, wcls.layout)
-                     if isinstance(wcls, QTensor) else rep),
+            "wcls": (QTensor(wcls_s, wcls_s, wcls.kind, wcls.logical_out, wcls.layout)
+                     if isinstance(wcls, QTensor) else wcls_s),
             "rope_cos": rep, "rope_sin": rep,
             "layers": layers,
         }

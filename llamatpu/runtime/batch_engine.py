@@ -63,26 +63,39 @@ class BatchEngine:
         self.cache_dtype = cache_dtype
         self.decode_window = max(1, int(decode_window))
         self.metrics = metrics or RunMetrics()
-        self.mesh = mesh  # tensor/data-parallel serving: weights+KV sharded
+        self.mesh = mesh  # tensor/data/pipeline-parallel serving
         self.ep = bool(ep and mesh is not None)
+        self.pp = 1 if mesh is None else mesh.shape.get("pp", 1)
         if mesh is not None:
-            assert mesh.shape.get("pp", 1) == 1, \
-                "pipeline parallelism is Engine-only (lane slicing vs stages)"
             assert batch_size % mesh.shape.get("dp", 1) == 0, \
                 (batch_size, mesh.shape)
+            if self.pp > 1:
+                # lane prefill maps a 1-row window onto its cache row via
+                # batch_offset, which the pipeline supports for dp == 1 only
+                assert mesh.shape.get("dp", 1) == 1 and not self.ep, \
+                    "pp in the batched engines composes with tp only"
         self._rng = jax.random.PRNGKey(seed)
 
         cfg, impl_, W, B = self.cfg, impl, self.decode_window, batch_size
         ep_mesh = self.mesh if self.ep else None
 
+        def fwd(weights, tokens, cache, pos, **kw):
+            if self.pp > 1:
+                from llamatpu.parallel.pipeline import forward_tokens_pp
+
+                kw.pop("ep_mesh", None)
+                return forward_tokens_pp(cfg, weights, tokens, cache, pos,
+                                         self.mesh, impl=impl_, **kw)
+            return forward_tokens(cfg, weights, tokens, cache, pos,
+                                  impl=impl_, **kw)
+
         def prefill_lane_fn(weights, tokens, cache, lane, pos, logit_idx, rng, temp, topp):
             """Prefill one chunk of one lane IN PLACE via batch_offset: the
             window's KV writes land at cache row `lane` directly — no lane
             stripe slice/scatter (those copied the whole stripe per chunk)."""
-            logits, cache = forward_tokens(cfg, weights, tokens, cache,
-                                           pos, impl=impl_, logit_index=logit_idx,
-                                           ep_mesh=ep_mesh, batch_offset=lane,
-                                           s_limit=self.cache_len)
+            logits, cache = fwd(weights, tokens, cache, pos,
+                                logit_index=logit_idx, ep_mesh=ep_mesh,
+                                batch_offset=lane, s_limit=self.cache_len)
             rng, sub = jax.random.split(rng)
             tok = _sample_lanes(logits, sub, jnp.full((1,), temp), jnp.full((1,), topp))
             return tok, cache, rng
@@ -102,11 +115,10 @@ class BatchEngine:
                 # request may be mid-prefill in this lane, and a stale-pos
                 # rewrite would corrupt its freshly written KV
                 park = jnp.int32(cache_.k.shape[3] - 1)
-                logits, cache_ = forward_tokens(cfg, weights, tok[:, None], cache_,
-                                                jnp.where(act, pos, park),
-                                                impl=impl_, last_logit_only=True,
-                                                ep_mesh=ep_mesh,
-                                                s_limit=self.cache_len)
+                logits, cache_ = fwd(weights, tok[:, None], cache_,
+                                     jnp.where(act, pos, park),
+                                     last_logit_only=True, ep_mesh=ep_mesh,
+                                     s_limit=self.cache_len)
                 rng_, sub = jax.random.split(rng_)
                 nxt = _sample_lanes(logits, sub, temps, topps)
                 nxt = jnp.where(act, nxt, tok)  # inactive lanes re-feed last token

@@ -69,7 +69,12 @@ def build_tiny_gguf(path, family="llama", quant=GGMLType.F32, seed=0, with_token
     w.add(p + "context_length", CTX)
     w.add(p + "attention.layer_norm_rms_epsilon", 1e-5)
     w.add(p + "rope.freq_base", 10000.0)
-    w.add(p + "vocab_size", VOCAB)
+    vocab = VOCAB
+    if with_tokenizer:
+        # the tiny tokenizer defines ~270 ids; the embedding/head must cover
+        # them all or text-driven paths (ppl, validate) gather out of bounds
+        vocab = add_tiny_tokenizer(w, family)
+    w.add(p + "vocab_size", vocab)
     if family == "qwen3":
         w.add(p + "attention.key_length", HEAD_DIM)
         w.add(p + "attention.value_length", HEAD_DIM)
@@ -89,9 +94,6 @@ def build_tiny_gguf(path, family="llama", quant=GGMLType.F32, seed=0, with_token
         w.add("granite.residual_scale", 0.22)
         w.add("granite.attention.scale", 0.0078125)
         w.add("granite.logit_scale", 16.0)
-    if with_tokenizer:
-        add_tiny_tokenizer(w, family)
-
     tensors = {}
 
     def add(tname, arr, q=quant):
@@ -100,9 +102,9 @@ def build_tiny_gguf(path, family="llama", quant=GGMLType.F32, seed=0, with_token
 
     q_dim = HEADS * HEAD_DIM
     kv_dim = KV_HEADS * HEAD_DIM
-    add("token_embd.weight", _mat(rng, VOCAB, DIM, scale=0.5))
+    add("token_embd.weight", _mat(rng, vocab, DIM, scale=0.5))
     add("output_norm.weight", _norm_w(rng, DIM), norm_quant)
-    add("output.weight", _mat(rng, VOCAB, DIM))
+    add("output.weight", _mat(rng, vocab, DIM))
     for i in range(LAYERS):
         b = f"blk.{i}."
         add(b + "attn_norm.weight", _norm_w(rng, DIM), norm_quant)
@@ -140,7 +142,7 @@ def build_tiny_gguf(path, family="llama", quant=GGMLType.F32, seed=0, with_token
     return tensors
 
 
-def add_tiny_tokenizer(w: GGUFWriter, family: str) -> None:
+def add_tiny_tokenizer(w: GGUFWriter, family: str) -> int:
     """Attach a minimal GPT-2-style byte-level BPE vocab covering ASCII."""
     # 256 byte tokens + a few specials + merges for common pairs
     from llamatpu.tokenizer.bpe import bytes_to_unicode
@@ -170,3 +172,4 @@ def add_tiny_tokenizer(w: GGUFWriter, family: str) -> None:
     w.add("tokenizer.ggml.token_type", np.array(types, dtype=np.int32))
     w.add("tokenizer.ggml.bos_token_id", 256 + len(pairs))
     w.add("tokenizer.ggml.eos_token_id", 256 + len(pairs) + 1)
+    return len(tokens)
