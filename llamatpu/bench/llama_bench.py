@@ -66,6 +66,7 @@ def bench_tg(engine, n: int, depth: int, reps: int, warmup: int = 1) -> BenchRes
     vocab = engine.cfg.vocab_size
     depth_toks = _rand_tokens(max(depth, 1), vocab, seed=7)
     times = []
+    generated = n
     for rep in range(warmup + reps):
         engine.reset()
         tok, _ = engine.prefill(depth_toks, 0)  # untimed: establishes pos
@@ -82,7 +83,14 @@ def bench_tg(engine, n: int, depth: int, reps: int, warmup: int = 1) -> BenchRes
         dt = time.perf_counter() - t0
         if rep >= warmup:
             times.append(dt)
-    return BenchResult(f"tg{n}" + (f"@d{depth}" if depth else ""), n,
+            generated = done
+    if generated < n:
+        # Cache/context exhausted mid-window (e.g. depth + n > context_length):
+        # report the tokens actually decoded so tok/s isn't inflated (advisor r2).
+        import warnings
+        warnings.warn(f"tg{n}@d{depth}: only {generated} tokens fit the cache; "
+                      "reporting actual count", stacklevel=2)
+    return BenchResult(f"tg{n}" + (f"@d{depth}" if depth else ""), generated,
                        statistics.mean(times), statistics.pstdev(times))
 
 
@@ -91,6 +99,7 @@ def bench_pg(engine, p: int, t: int, reps: int, warmup: int = 1) -> BenchResult:
     LlamaBench.java): timed prefill of p tokens followed by t decoded tokens."""
     toks = _rand_tokens(p, engine.cfg.vocab_size)
     times = []
+    generated = t
     for rep in range(warmup + reps):
         engine.reset()
         t0 = time.perf_counter()
@@ -107,7 +116,9 @@ def bench_pg(engine, p: int, t: int, reps: int, warmup: int = 1) -> BenchResult:
         dt = time.perf_counter() - t0
         if rep >= warmup:
             times.append(dt)
-    return BenchResult(f"pg{p}+{t}", p + t, statistics.mean(times), statistics.pstdev(times))
+            generated = n
+    return BenchResult(f"pg{p}+{t}", p + generated,
+                       statistics.mean(times), statistics.pstdev(times))
 
 
 def bench_tg_batch(batch_engine, n: int, depth: int, reps: int, warmup: int = 1) -> BenchResult:

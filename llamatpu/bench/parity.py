@@ -32,8 +32,15 @@ import numpy as np
 VARIANTS = ("f32", "bf16", "q8_0", "q8_0-int8dot", "q8_0-kvint8",
             "q4_0", "q4_0-pack4")
 
-# keys quantized in a real GGUF checkpoint (llama-family dense graph)
-_MATMUL_KEYS = ("wq", "wk", "wv", "wo", "w1", "w2", "w3")
+# keys quantized in a real GGUF checkpoint: the dense llama graph, plus the
+# MoE routed-expert stacks and the always-on shared expert (router /
+# shared_gate_inp stay f32 in real checkpoints, as in the loader). Fused
+# wqkv/w13/shared_g13 are exercised automatically: the Engine fuses QTensors
+# at load (models/weights.py fuse_layer_weights), so every quantized variant
+# scores THROUGH the fused kernels.
+_MATMUL_KEYS = ("wq", "wk", "wv", "wo", "w1", "w2", "w3",
+                "gate_exps", "up_exps", "down_exps",
+                "shared_gate", "shared_up", "shared_down")
 
 
 def build_master(preset: str, seed: int = 0, **overrides):

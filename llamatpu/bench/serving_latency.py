@@ -74,8 +74,20 @@ def run_latency_bench(engine, *, n_requests=16, prompt_len=128, max_new=64,
         # phase 1: steady concurrent load
         reqs = [_Timed(batcher, prompt(prompt_len, i), max_new)
                 for i in range(n_requests)]
-        # phase 2: adversary long prompt lands while lanes are decoding
-        time.sleep(max(2 * warm.gaps[0] if len(warm.token_t) > 1 else 0.05, 0.05))
+
+        # phase 2: adversary long prompt lands while lanes are decoding.
+        # Event-driven gate (not a sleep, which raced fast engines): wait
+        # until at least one stream has produced a token AND is still live,
+        # then land the adversary immediately.
+        def _decoding_lanes():
+            return sum(1 for r in reqs if r.token_t and r.thread.is_alive())
+
+        gate_deadline = time.perf_counter() + 120.0
+        while time.perf_counter() < gate_deadline:
+            if _decoding_lanes() or not any(r.thread.is_alive() for r in reqs):
+                break
+            time.sleep(0.001)
+        lanes_active = _decoding_lanes()
         adv_t0 = time.perf_counter()
         adv = _Timed(batcher, prompt(adversary_prompt_len, 99), 8)
         adv.join()
@@ -84,23 +96,31 @@ def run_latency_bench(engine, *, n_requests=16, prompt_len=128, max_new=64,
             r.join()
 
         gaps = [g for r in reqs for g in r.gaps]
-        # stalls of ALREADY-RUNNING streams during the adversary's prefill
+        # stalls of ALREADY-RUNNING streams during the adversary's
+        # admission+prefill window: any inter-token gap OVERLAPPING
+        # [adv_t0, adv_t1] counts — the worst stall typically starts before
+        # the adversary lands and ends after its prefill completes, so
+        # containment-only matching missed exactly the gap being measured.
         stall = [b - a for r in reqs
                  for a, b in zip(r.token_t, r.token_t[1:])
-                 if adv_t0 <= a and b <= adv_t1 + 0.5]
+                 if a <= adv_t1 and b >= adv_t0]
         total_tokens = sum(len(r.token_t) for r in reqs)
-        t_span = max(t for r in reqs for t in r.token_t) - min(r.submit_t for r in reqs)
+        all_token_t = [t for r in reqs for t in r.token_t]
+        t_span = (max(all_token_t) - min(r.submit_t for r in reqs)
+                  if all_token_t else 0.0)
         out = {
             "n_requests": n_requests, "prompt_len": prompt_len, "max_new": max_new,
             "ttft_p50_s": round(_pct([r.ttft for r in reqs], 50), 4),
             "ttft_p99_s": round(_pct([r.ttft for r in reqs], 99), 4),
             "itg_p50_ms": round(_pct(gaps, 50) * 1e3, 3),
             "itg_p99_ms": round(_pct(gaps, 99) * 1e3, 3),
-            "agg_decode_tok_s": round(total_tokens / t_span, 1),
+            "agg_decode_tok_s":
+                round(total_tokens / max(t_span, 1e-9), 1) if all_token_t else None,
             "adversary_prompt_len": adversary_prompt_len,
             "adversary_ttft_s": round(adv.ttft, 4),
+            "lanes_active_at_adversary": lanes_active,
             # null (not NaN — invalid JSON) when every stream finished before
-            # the adversary landed (tiny CPU runs)
+            # the adversary landed (lanes_active_at_adversary says how many)
             "stall_during_adversary_p99_ms":
                 round(_pct(stall, 99) * 1e3, 3) if stall else None,
         }

@@ -43,9 +43,11 @@ def _structural_family(metadata: dict) -> Family | None:
     if arch == "llama":
         if tok_model == "llama":
             return Family.MISTRAL      # SPM tokenizer => Mistral lineage
-        if ("tekken" in tok_pre
-                or metadata.get("llama.rope.scaling.type") == "yarn"):
-            return Family.DEVSTRAL_2   # Tekken BPE / YaRN => Devstral 2
+        # Tekken BPE => Devstral-2 lineage. NOTE: YaRN rope scaling is
+        # deliberately NOT a Devstral signal — any long-context Llama-3
+        # GGUF can carry llama.rope.scaling.type == "yarn" (advisor r2).
+        if "tekken" in tok_pre:
+            return Family.DEVSTRAL_2
         return Family.LLAMA_3
     return None
 
@@ -90,6 +92,23 @@ def detect_family(metadata: dict) -> Family:
             Family.MISTRAL: {Family.DEVSTRAL_2},
         }
         if named in refinements.get(structural, ()):
+            return named
+        # The inverse direction: the structural family is a strict refinement
+        # of the named base (e.g. a qwen2moe checkpoint named
+        # "Qwen1.5-MoE-A2.7B" matches the "qwen2" name substring). The result
+        # is right; don't emit the rename-proofing warning (advisor r2).
+        base_of = {
+            Family.QWEN_2_MOE: {Family.QWEN_2},
+            Family.DEEPSEEK_R1_DISTILL_QWEN: {Family.QWEN_2},
+        }
+        if named in base_of.get(structural, ()):
+            return structural
+        # Devstral's structural signal (Tekken pretokenizer) is shared with
+        # other Mistral-lineage models (e.g. Mistral-Small 3) — when the name
+        # claims the base family, trust it: Devstral is the refinement, not
+        # the base (advisor r2).
+        if structural == Family.DEVSTRAL_2 and named in (
+                Family.MISTRAL, Family.LLAMA_3):
             return named
         log.warning(
             "general.name %r suggests %s but architecture/tokenizer metadata "

@@ -41,14 +41,25 @@ def _expert_leaf_spec(leaf):
 
 
 def moe_ffn_expert_parallel(cfg, hf, top_w, top_i, lw, mesh, tm: int = 32):
-    """Routed-expert FFN with expert-sharded weights. hf: [N, D] (replicated);
+    """Routed-expert FFN with expert-sharded weights. hf: [N, D];
     returns [N, D] f32. Bit-compatible with the single-device grouped path up
-    to f32 psum reordering."""
+    to f32 psum reordering.
+
+    dp x ep composition (round 3): when the mesh carries a dp axis and N
+    divides by it, TOKENS shard over "dp" while EXPERTS shard over "tp" — each
+    device computes its N/dp tokens x its E/ep experts and psums over "tp"
+    only. This is the north-star large-MoE serving topology: expert weights
+    (the dominant HBM term) divide by ep, attention/KV divide by dp, and no
+    pipeline bubbles exist — which is why dp x ep, not pp x ep, is the shape
+    the batched engines compose (see parallel/pipeline.py docstring)."""
     experts = {k: lw[k] for k in ("gate_exps", "up_exps", "down_exps")}
     e_total = cfg.n_experts
     ep = mesh.shape["tp"]
     assert e_total % ep == 0, (e_total, ep)
     e_loc = e_total // ep
+    dp = mesh.shape.get("dp", 1)
+    n = hf.shape[0]
+    tok_spec = P("dp") if (dp > 1 and n % dp == 0) else P()
 
     def local_moe(hf_, top_w_, top_i_, experts_):
         rank = jax.lax.axis_index("tp")
@@ -64,10 +75,10 @@ def moe_ffn_expert_parallel(cfg, hf, top_w, top_i, lw, mesh, tm: int = 32):
 
     fn = shard_map(
         local_moe, mesh=mesh,
-        in_specs=(P(), P(), P(), jax.tree.map(
+        in_specs=(tok_spec, tok_spec, tok_spec, jax.tree.map(
             _expert_leaf_spec, experts,
             is_leaf=lambda x: isinstance(x, QTensor))),
-        out_specs=P(),
+        out_specs=tok_spec,
         check_vma=False,  # pallas_call inside shard_map lacks vma metadata
     )
     return fn(hf, top_w.astype(jnp.float32), top_i, experts)

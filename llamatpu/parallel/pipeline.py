@@ -30,8 +30,18 @@ layer-sharded axis, which is backwards):
   its cache rows, so the continuous-batching engines can drive a pipelined
   model (BatchEngine with pp>1)
 
-No paged-cache support (pp shards the cache's L axis; the paged pool's block
-tables are position-indexed, not layer-indexed — a later round).
+Paged-cache support (round 3): the pool's L axis shards over "pp" exactly like
+the dense cache; block tables are position-indexed and layer-agnostic, so they
+replicate per stage, and pipeline bubble steps swap in the trash-block table
+(the paged decode loop's inactive-lane convention) instead of a write gate.
+
+Why pp x EP is deliberately NOT composed: for the biggest MoE checkpoints the
+expert stacks are the dominant HBM term, and expert parallelism already
+divides them by ep — dp x ep (tokens over dp, whole experts over tp, paged
+pool + continuous batching) reaches the same per-chip memory as pp x ep would,
+with no pipeline bubbles and one psum per MoE layer (parallel/expert.py,
+dryrun `ep x dp paged-serving` step). pp remains the tool for DENSE models
+whose layer stack exceeds a chip.
 """
 from __future__ import annotations
 
@@ -77,13 +87,23 @@ def pp_layer_specs(layers: dict, tp: int = 1):
 
 def forward_tokens_pp(cfg: ModelConfig, weights, tokens, cache, pos, mesh,
                       impl="xla", last_logit_only=False, logit_index=None,
-                      s_limit: int | None = None, batch_offset=None):
-    """Pipeline-parallel forward_tokens (dense KVCache only). Same contract as
-    models/transformer.forward_tokens; `mesh` must carry a pp axis > 1 and the
-    layer weights / cache must already be sharded by parallel/shard.py.
-    Composes with dp (batch shards) and tp (Megatron inside each stage).
-    batch_offset (dp == 1 only): the window's b rows live at cache rows
-    [batch_offset, batch_offset + b) — lane prefill for the batched engines."""
+                      s_limit: int | None = None, batch_offset=None,
+                      tables=None):
+    """Pipeline-parallel forward_tokens (dense KVCache or PagedKVCache). Same
+    contract as models/transformer.forward_tokens; `mesh` must carry a pp axis
+    > 1 and the layer weights / cache must already be sharded by
+    parallel/shard.py. Composes with dp (batch shards) and tp (Megatron inside
+    each stage).
+    batch_offset (dense, dp == 1 only): the window's b rows live at cache rows
+    [batch_offset, batch_offset + b) — lane prefill for the batched engines.
+    tables [b, MAXBLK] (paged): each stage holds its layers' stripe of the
+    block pool ([L/pp, NBLK, ...]); tables are position-indexed and layer-
+    agnostic, so they replicate per stage (sliced per microbatch); pipeline
+    BUBBLE steps route their writes to the trash block (last pool block, the
+    same convention the paged decode loop uses for inactive lanes)."""
+    from llamatpu.runtime.paged_cache import PagedKVCache
+
+    paged = isinstance(cache, PagedKVCache)
     pp = mesh.shape["pp"]
     dp = mesh.shape.get("dp", 1)
     tp = mesh.shape.get("tp", 1)
@@ -94,10 +114,19 @@ def forward_tokens_pp(cfg: ModelConfig, weights, tokens, cache, pos, mesh,
             (cfg.n_heads, cfg.n_kv_heads, tp)
         assert not cfg.is_moe, "tp inside a pipeline stage is dense-only"
     b, t = tokens.shape
-    assert b % dp == 0, (b, dp)
-    if batch_offset is not None:
-        assert dp == 1, "batch_offset lane windows don't compose with dp"
-    b_local = b // dp
+    # lane_dp: a single-lane window (batched-engine lane prefill) under dp>1.
+    # The window replicates across dp ranks; only the rank OWNING the lane's
+    # cache rows keeps its writes and output (others compute gated-off garbage
+    # — their per-rank caches hold other lanes' KV, so their activations are
+    # wrong past layer 1 and are masked out of the psum).
+    lane_dp = batch_offset is not None and dp > 1
+    if lane_dp:
+        assert b == 1, "batch_offset under dp>1 is for single-lane windows"
+    else:
+        assert b % dp == 0, (b, dp)
+    if paged:
+        assert tables is not None and batch_offset is None
+    b_local = b if lane_dp else b // dp
     quantized = cache.quantized
     pos_vec = jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(pos)), (b,))
 
@@ -117,15 +146,23 @@ def forward_tokens_pp(cfg: ModelConfig, weights, tokens, cache, pos, mesh,
     # only what the stages need inside the shard_map; final norm + wcls run
     # outside on the psum-broadcast hidden states
     static_w = {k: weights[k] for k in ("tok_emb", "rope_cos", "rope_sin")}
-    cache_args = (cache.k, cache.v) + (
-        (cache.k_scale, cache.v_scale) if quantized else ())
     tp_kv = "tp" if tp > 1 else None
-    kv_spec = P("pp", "dp", tp_kv)
+    if paged:
+        cache_args = (cache.k_pool, cache.v_pool) + (
+            (cache.k_scale, cache.v_scale) if quantized else ())
+        kv_spec = P("pp", None, tp_kv)  # pool [L, NBLK, KV, BS, hd]
+        bs = cache.block_size
+        trash = cache.k_pool.shape[1] - 1
+    else:
+        cache_args = (cache.k, cache.v) + (
+            (cache.k_scale, cache.v_scale) if quantized else ())
+        kv_spec = P("pp", "dp", tp_kv)
 
     l_loc = cfg.n_layers // pp
     off = 0 if batch_offset is None else batch_offset
+    rows_loc = None if paged else cache.k.shape[1] // dp  # cache rows per dp shard
 
-    def stage_fn(layers_l, static_l, tokens_l, pos_l, *cache_l):
+    def stage_fn(layers_l, static_l, tokens_l, pos_l, tables_l, *cache_l):
         s = jax.lax.axis_index("pp")
         dtype = static_l["tok_emb"].dtype
 
@@ -143,18 +180,37 @@ def forward_tokens_pp(cfg: ModelConfig, weights, tokens, cache, pos, mesh,
             sin = static_l["rope_sin"][positions][:, :, None, :]
             # carry-form layer scan: the stage-local stacked cache flows
             # through; this microbatch's rows start at off + r0 and bubble
-            # steps gate their writes off
+            # steps gate their writes off (dense) or land in the trash block
+            # (paged: tables are swapped wholesale, same trick the paged
+            # decode loop uses for inactive lanes)
+            owner = jnp.bool_(True)
+            if paged:
+                tbl_mb = jax.lax.dynamic_slice_in_dim(tables_l, r0, mb, 0)
+                tbl_mb = jnp.where(valid, tbl_mb, jnp.int32(trash))
+                paged_kw = dict(paged=True, block_size=bs, tables=tbl_mb)
+            elif lane_dp:
+                # replicated single-lane window: only the dp rank whose cache
+                # stripe holds row `off` keeps writes/output (others' caches
+                # hold other lanes, so their activations are garbage past the
+                # first attention — harmless because fully gated + masked)
+                local_off = off + r0 - jax.lax.axis_index("dp") * rows_loc
+                owner = (local_off >= 0) & (local_off < rows_loc)
+                paged_kw = dict(
+                    batch_offset=jnp.clip(local_off, 0, rows_loc - mb),
+                    write_gate=valid & owner)
+            else:
+                paged_kw = dict(batch_offset=off + r0, write_gate=valid)
             layer_fn = make_layer_fn(cfg_stage, impl, mb, t, pos_mb, cos, sin,
                                      quantized=quantized, s_limit=s_limit,
-                                     batch_offset=off + r0, write_gate=valid,
                                      tp_axis=tp_axis,
-                                     slw=layers_l if impl == "pallas" else None)
+                                     slw=layers_l if impl == "pallas" else None,
+                                     **paged_kw)
             carry_l, _ = jax.lax.scan(
                 layer_fn, (x,) + cache_l,
                 (layers_l, jnp.arange(l_loc, dtype=jnp.int32)))
             y, cache_l = carry_l[0], carry_l[1:]
             outbuf = jnp.where(
-                valid & (s == pp - 1),
+                valid & (s == pp - 1) & owner,
                 jax.lax.dynamic_update_slice_in_dim(outbuf, y, r0, 0), outbuf)
             cur = jax.lax.ppermute(y, "pp", perm)
             return (cur, cache_l, outbuf)
@@ -163,23 +219,31 @@ def forward_tokens_pp(cfg: ModelConfig, weights, tokens, cache, pos, mesh,
         outbuf0 = jnp.zeros((b_local, t, cfg.dim), dtype)
         cur, cache_l, outbuf = jax.lax.fori_loop(
             0, steps, body, (cur0, cache_l, outbuf0))
-        outbuf = jax.lax.psum(outbuf, "pp")  # only the last stage is nonzero
+        # only the last stage (and, in lane_dp mode, the owner rank) is nonzero
+        outbuf = jax.lax.psum(outbuf, ("pp", "dp") if lane_dp else "pp")
         return (outbuf,) + cache_l
 
+    tables_arg = tables if paged else jnp.zeros((b, 1), jnp.int32)
+    win_b = None if lane_dp else "dp"  # lane windows replicate across dp
     fn = shard_map(
         stage_fn, mesh=mesh,
         in_specs=(pp_layer_specs(weights["layers"], tp),
                   jax.tree.map(lambda _: P(), static_w,
                                is_leaf=lambda x: isinstance(x, QTensor)),
-                  P("dp", None), P("dp"),
+                  P(win_b, None), P(win_b), P(win_b, None),
                   *([kv_spec] * len(cache_args))),
-        out_specs=(P("dp", None, None), *([kv_spec] * len(cache_args))),
+        out_specs=(P(win_b, None, None), *([kv_spec] * len(cache_args))),
         check_vma=False,
     )
-    out = fn(weights["layers"], static_w, tokens, pos_vec, *cache_args)
+    out = fn(weights["layers"], static_w, tokens, pos_vec, tables_arg,
+             *cache_args)
     hidden, new_kv = out[0], out[1:]
-    new_cache = (KVCache(*new_kv[:2], *new_kv[2:]) if quantized
-                 else KVCache(*new_kv))
+    if paged:
+        new_cache = PagedKVCache(new_kv[0], new_kv[1], cache.block_size,
+                                 *(new_kv[2:] if quantized else ()))
+    else:
+        new_cache = (KVCache(*new_kv[:2], *new_kv[2:]) if quantized
+                     else KVCache(*new_kv))
     logits = finish_logits(cfg, weights, hidden, impl, last_logit_only,
                            logit_index)
     return logits, new_cache

@@ -137,14 +137,16 @@ def cache_shardings(cfg: ModelConfig, mesh: Mesh, cache=None):
 
 def paged_cache_shardings(cfg: ModelConfig, mesh: Mesh, cache):
     """PagedKVCache sharding: pools [L, NBLK, KV, BS, hd] put kv heads on
-    "tp". NBLK stays replicated — block tables index arbitrary pool blocks, so
-    splitting the pool would turn every table lookup into a cross-device
-    gather; paged serving shards the MODEL (tp), not the pool."""
+    "tp" and (with pp > 1) the layer axis on "pp". NBLK stays replicated —
+    block tables index arbitrary pool blocks, so splitting the pool would turn
+    every table lookup into a cross-device gather; paged serving shards the
+    MODEL (tp/pp), not the pool."""
     from llamatpu.runtime.paged_cache import PagedKVCache
 
-    kv_s = NamedSharding(mesh, P(None, None, "tp", None, None))
+    pp = "pp" if mesh.shape.get("pp", 1) > 1 else None
+    kv_s = NamedSharding(mesh, P(pp, None, "tp", None, None))
     if cache.quantized:
-        sc_s = NamedSharding(mesh, P(None, None, "tp", None, None))
+        sc_s = NamedSharding(mesh, P(pp, None, "tp", None, None))
         return PagedKVCache(kv_s, kv_s, cache.block_size, sc_s, sc_s)
     return PagedKVCache(kv_s, kv_s, cache.block_size)
 

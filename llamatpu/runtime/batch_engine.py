@@ -71,9 +71,11 @@ class BatchEngine:
                 (batch_size, mesh.shape)
             if self.pp > 1:
                 # lane prefill maps a 1-row window onto its cache row via
-                # batch_offset, which the pipeline supports for dp == 1 only
-                assert mesh.shape.get("dp", 1) == 1 and not self.ep, \
-                    "pp in the batched engines composes with tp only"
+                # batch_offset (replicated across dp with owner-rank gating,
+                # parallel/pipeline.py lane_dp); pp x ep stays excluded —
+                # dp x ep is the MoE serving shape (pipeline.py docstring)
+                assert not self.ep, \
+                    "pp x ep deliberately not composed: use dp x ep for MoE"
         self._rng = jax.random.PRNGKey(seed)
 
         cfg, impl_, W, B = self.cfg, impl, self.decode_window, batch_size

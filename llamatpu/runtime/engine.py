@@ -194,11 +194,11 @@ class Engine:
             out = jnp.full((W + K, b), -1, jnp.int32)
 
             def cond(c):
-                cnt, tok, cache_, ids_, pos, out_, done = c
+                cnt, nfwd, tok, cache_, ids_, pos, out_, done = c
                 return jnp.logical_and(cnt < limit, jnp.logical_not(done))
 
             def body(c):
-                cnt, tok, cache_, ids_, pos, out_, done = c
+                cnt, nfwd, tok, cache_, ids_, pos, out_, done = c
                 s_phys = ids_.shape[1]
                 a = ids_[0, pos - 1]
                 iota = jnp.arange(s_phys - 1, dtype=jnp.int32)
@@ -225,12 +225,16 @@ class Engine:
                 tok_n = cand[e - 1][None]
                 pos_n = pos + e
                 done_n = hit | (pos_n + 1 >= self.cache_len)
-                return (cnt + e, tok_n, cache_, ids_, pos_n, out_, done_n)
+                return (cnt + e, nfwd + 1, tok_n, cache_, ids_, pos_n, out_,
+                        done_n)
 
-            cnt, tok, cache, ids, pos, out, done = jax.lax.while_loop(
+            cnt, nfwd, tok, cache, ids, pos, out, done = jax.lax.while_loop(
                 cond, body,
-                (jnp.int32(0), token, cache, ids, pos0, out, jnp.bool_(False)))
-            return out, cnt, cache, ids, rng
+                (jnp.int32(0), jnp.int32(0), token, cache, ids, pos0, out,
+                 jnp.bool_(False)))
+            # nfwd = verify forwards this window; emitted/forwards - 1 is the
+            # mean accepted drafts per step (acceptance telemetry, RunMetrics)
+            return out, cnt, nfwd, cache, ids, rng
 
         def decode_n_fn(weights, token, cache, pos0, rng, stops, limit, temp, topp):
             b = token.shape[0]
@@ -286,7 +290,7 @@ class Engine:
                     self.weights, np.zeros((b, self.prefill_chunk), np.int32),
                     self.cache, self._ids, np.int32(0), np.int32(0),
                     self._rng, temp, topp)
-                _, _, cache, self._ids, self._rng = decode_n(
+                _, _, _, cache, self._ids, self._rng = decode_n(
                     self.weights, np.ones((b,), np.int32), cache, self._ids,
                     np.int32(1), self._rng, self._stops_array(set()),
                     np.int32(1))
@@ -358,10 +362,20 @@ class Engine:
         if limit <= 0:
             return []
         if self.spec_k and greedy:
-            toks, count, self.cache, self._ids, self._rng = decode_n(
+            toks, count, nfwd, self.cache, self._ids, self._rng = decode_n(
                 self.weights, np.full((self.batch_size,), token, np.int32),
                 self.cache, self._ids, np.int32(pos), self._rng,
                 self._stops_array(stop_tokens), np.int32(limit))
+            toks_h, count_h, nfwd_h = jax.device_get((toks, count, nfwd))
+            ex = self.metrics.extra
+            ex["spec_emitted"] = ex.get("spec_emitted", 0) + int(count_h)
+            ex["spec_forwards"] = ex.get("spec_forwards", 0) + int(nfwd_h)
+            if ex["spec_forwards"]:
+                # mean drafted tokens accepted per verify forward (0 = no
+                # speedup, K = every draft accepted); the bench row's metric
+                ex["spec_accept_rate"] = round(
+                    ex["spec_emitted"] / ex["spec_forwards"] - 1.0, 4)
+            return toks_h[: int(count_h), 0].tolist()
         else:
             toks, count, self.cache, self._rng = decode_n(
                 self.weights, np.full((self.batch_size,), token, np.int32),

@@ -61,25 +61,40 @@ class PagedBatchEngine:
         self.decode_window = max(1, int(decode_window))
         self.metrics = metrics or RunMetrics()
         self.prefix_cache = prefix_cache
-        self.mesh = mesh  # tp(/dp/ep)-sharded serving; pool blocks replicated
+        self.mesh = mesh  # tp(/dp/ep/pp)-sharded serving; pool blocks replicated
         self.ep = bool(ep and mesh is not None)
+        self.pp = 1 if mesh is None else mesh.shape.get("pp", 1)
         if mesh is not None:
-            assert mesh.shape.get("pp", 1) == 1 and mesh.shape.get("sp", 1) == 1, \
-                "paged serving shards tp/dp/ep only"
+            assert mesh.shape.get("sp", 1) == 1, \
+                "paged serving shards tp/dp/ep/pp (not sp)"
+            if self.pp > 1:
+                assert not self.ep, \
+                    "pp x ep deliberately not composed: dp x ep is the MoE " \
+                    "serving shape (parallel/pipeline.py docstring)"
         self._rng = jax.random.PRNGKey(seed)
         self.alloc = BlockAllocator(self.n_blocks, batch_size, self.max_blocks_per_lane)
 
         cfg, impl_, W, B = self.cfg, impl, self.decode_window, batch_size
         ep_mesh = mesh if self.ep else None
 
+        def fwd(weights, tokens, cache, pos, tables, **kw):
+            if self.pp > 1:
+                from llamatpu.parallel.pipeline import forward_tokens_pp
+
+                return forward_tokens_pp(cfg, weights, tokens, cache, pos,
+                                         self.mesh, impl=impl_,
+                                         tables=tables, **kw)
+            return forward_tokens(cfg, weights, tokens, cache, pos,
+                                  impl=impl_, tables=tables, ep_mesh=ep_mesh,
+                                  **kw)
+
         def prefill_lane_fn(weights, tokens, cache, tables, lane, pos, logit_idx,
                             rng, temp, topp):
             # paged writes land in the shared pool; only this lane's table row
             # is active, so running the token window as batch-1 is safe
             lane_tables = jax.lax.dynamic_slice_in_dim(tables, lane, 1, axis=0)
-            logits, cache = forward_tokens(cfg, weights, tokens, cache, pos,
-                                           impl=impl_, logit_index=logit_idx,
-                                           tables=lane_tables, ep_mesh=ep_mesh)
+            logits, cache = fwd(weights, tokens, cache, pos, lane_tables,
+                                logit_index=logit_idx)
             rng, sub = jax.random.split(rng)
             tok = _sample_lanes(logits, sub, jnp.full((1,), temp), jnp.full((1,), topp))
             return tok, cache, rng
@@ -100,9 +115,8 @@ class PagedBatchEngine:
                 # SHARED) blocks, which a stale-pos rewrite would corrupt
                 trash = jnp.int32(cache_.k_pool.shape[1] - 1)
                 tbl = jnp.where(act[:, None], tables, trash)
-                logits, cache_ = forward_tokens(cfg, weights, tok[:, None], cache_,
-                                                pos, impl=impl_, last_logit_only=True,
-                                                tables=tbl, ep_mesh=ep_mesh)
+                logits, cache_ = fwd(weights, tok[:, None], cache_, pos, tbl,
+                                     last_logit_only=True)
                 rng_, sub = jax.random.split(rng_)
                 nxt = _sample_lanes(logits, sub, temps, topps)
                 nxt = jnp.where(act, nxt, tok)

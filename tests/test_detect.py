@@ -35,10 +35,38 @@ def test_renamed_deepseek_detects_by_pretokenizer():
     assert detect_family(md) == Family.DEEPSEEK_R1_DISTILL_QWEN
 
 
-def test_renamed_devstral_detects_by_yarn():
+def test_renamed_devstral_detects_by_tekken():
+    md = {"general.architecture": "llama", "general.name": "code-helper",
+          "tokenizer.ggml.model": "gpt2", "tokenizer.ggml.pre": "tekken"}
+    assert detect_family(md) == Family.DEVSTRAL_2
+
+
+def test_yarn_is_not_a_devstral_signal():
+    # a long-context Llama-3 GGUF with YaRN rope scaling stays LLAMA_3
+    # (advisor r2: yarn is not Devstral-specific)
     md = {"general.architecture": "llama", "general.name": "code-helper",
           "tokenizer.ggml.model": "gpt2", "llama.rope.scaling.type": "yarn"}
-    assert detect_family(md) == Family.DEVSTRAL_2
+    assert detect_family(md) == Family.LLAMA_3
+
+
+def test_tekken_mistral_name_wins(caplog):
+    # a Tekken-based Mistral-Small named "mistral...": Devstral is the
+    # refinement, the name claims the base — trust the name, no warning
+    md = {"general.architecture": "llama", "general.name": "Mistral-Small-3",
+          "tokenizer.ggml.model": "gpt2", "tokenizer.ggml.pre": "tekken"}
+    with caplog.at_level(logging.WARNING):
+        assert detect_family(md) == Family.MISTRAL
+    assert not caplog.records
+
+
+def test_qwen2moe_named_qwen_no_spurious_warning(caplog):
+    # "Qwen1.5-MoE-A2.7B" contains "qwen2"? No — but "Qwen2-57B-A14B" does;
+    # either way a qwen2moe arch with a qwen2-ish name must not warn
+    md = {"general.architecture": "qwen2moe", "general.name": "Qwen2-57B-A14B",
+          "tokenizer.ggml.model": "gpt2"}
+    with caplog.at_level(logging.WARNING):
+        assert detect_family(md) == Family.QWEN_2_MOE
+    assert not caplog.records
 
 
 def test_conflicting_rename_warns_and_trusts_structure(caplog):

@@ -217,3 +217,74 @@ def test_batch_engine_pp2_tp2_decode(model):
     e = BatchEngine(model, batch_size=2, cache_dtype=jnp.float32,
                     decode_window=4, mesh=mesh)
     assert e.generate_batch(prompts, 6) == ref
+
+
+def test_paged_engine_pp2_matches_unsharded(model):
+    """Paged pool under pipeline parallelism: the pool's L axis shards over
+    pp, tables replicate per stage, bubble steps write to the trash block —
+    cold and prefix-cache-warm generations bit-match the unsharded engine."""
+    from llamatpu.runtime.paged_engine import PagedBatchEngine
+    from llamatpu.runtime.scheduler import BatchRequest, ContinuousBatcher
+
+    prompt = [5, 9, 23, 41, 8, 2, 7, 3, 1]
+    ref = Engine(model, cache_dtype=jnp.float32, aot_compile=False,
+                 decode_window=4).generate(prompt, 6).tokens
+    mesh = make_mesh(tp=1, dp=1, pp=2, devices=jax.devices()[:2])
+    e = PagedBatchEngine(model, batch_size=2, block_size=4,
+                         cache_dtype=jnp.float32, decode_window=4,
+                         prefill_chunk=4, mesh=mesh)
+    b = ContinuousBatcher(e, stop_tokens=set())
+    s1 = b.submit(BatchRequest(list(prompt), 6))
+    cold = list(s1)
+    s2 = b.submit(BatchRequest(list(prompt), 6))
+    warm = list(s2)
+    b.shutdown()
+    assert cold == ref and warm == ref
+    assert s2.cached_tokens == 8
+
+
+def test_paged_engine_pp2_tp2_int8_kv(model):
+    """pp x tp over a paged INT8 pool: scale pools shard L over pp alongside
+    the block pools; generation still bit-matches (int8 KV quant is
+    batch/shard-invariant)."""
+    from llamatpu.runtime.paged_engine import PagedBatchEngine
+    from llamatpu.runtime.scheduler import BatchRequest, ContinuousBatcher
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs a 4-device CPU mesh")
+    prompt = [5, 9, 23, 41, 8, 2, 7]
+    ref_e = PagedBatchEngine(model, batch_size=2, block_size=4,
+                             cache_dtype=jnp.int8, decode_window=4,
+                             prefill_chunk=4)
+    rb = ContinuousBatcher(ref_e, stop_tokens=set())
+    ref = list(rb.submit(BatchRequest(list(prompt), 6)))
+    rb.shutdown()
+    mesh = make_mesh(tp=2, dp=1, pp=2, devices=jax.devices()[:4])
+    e = PagedBatchEngine(model, batch_size=2, block_size=4,
+                         cache_dtype=jnp.int8, decode_window=4,
+                         prefill_chunk=4, mesh=mesh)
+    b = ContinuousBatcher(e, stop_tokens=set())
+    got = list(b.submit(BatchRequest(list(prompt), 6)))
+    b.shutdown()
+    assert got == ref
+
+
+def test_batch_engine_pp2_dp2_matches_unsharded(model):
+    """pp x dp batched serving: lane prefill windows replicate across dp with
+    owner-rank gating (pipeline.py lane_dp); per-lane outputs bit-match B=1."""
+    from llamatpu.runtime.batch_engine import BatchEngine
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs a 4-device CPU mesh")
+    prompts = [[1, 5, 9, 13], [2, 6, 10, 14], [3, 7, 11, 15], [4, 8, 12, 16]]
+    refs = []
+    base = Engine(model, cache_dtype=jnp.float32, aot_compile=False,
+                  decode_window=4)
+    for p in prompts:
+        base.reset()
+        refs.append(base.generate(p, 6, temperature=0.0).tokens)
+    mesh = make_mesh(tp=1, dp=2, pp=2, devices=jax.devices()[:4])
+    be = BatchEngine(model, batch_size=4, cache_dtype=jnp.float32,
+                     decode_window=4, prefill_chunk=4, mesh=mesh)
+    outs = be.generate_batch(prompts, 6)
+    assert [list(o) for o in outs] == refs

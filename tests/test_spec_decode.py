@@ -87,3 +87,16 @@ def test_spec_sampled_falls_back(model):
     r = ref.generate(prompt, 6, temperature=0.8, top_p=0.9).tokens
     s = spec.generate(prompt, 6, temperature=0.8, top_p=0.9).tokens
     assert s == r  # same seed, same sampled path
+
+
+def test_spec_acceptance_telemetry(model):
+    """RunMetrics records verify forwards + emitted tokens; on a repetitive
+    prompt the lookup accepts drafts, so emitted > forwards (rate > 0)."""
+    _, spec = _pair(model, 4)
+    prompt = [7, 8, 9, 7, 8, 9, 7, 8, 9, 7, 8]
+    spec.generate(prompt, 12)
+    ex = spec.metrics.extra
+    assert ex["spec_forwards"] >= 1
+    assert ex["spec_emitted"] >= ex["spec_forwards"]
+    assert "spec_accept_rate" in ex
+    assert ex["spec_accept_rate"] >= 0.0

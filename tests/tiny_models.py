@@ -143,10 +143,17 @@ def build_tiny_gguf(path, family="llama", quant=GGMLType.F32, seed=0, with_token
 
 
 def add_tiny_tokenizer(w: GGUFWriter, family: str) -> int:
-    """Attach a minimal GPT-2-style byte-level BPE vocab covering ASCII."""
-    # 256 byte tokens + a few specials + merges for common pairs
+    """Attach a minimal tokenizer matching the family's REAL engine: SPM with
+    byte fallback for mistral/phi3 (tokenizer.ggml.model="llama"), byte-level
+    BPE for the rest (with pre="tekken" for devstral) — so family detection
+    sees the same structural evidence a real checkpoint carries and `validate`
+    exercises the right tokenizer engine per family."""
     from llamatpu.tokenizer.bpe import bytes_to_unicode
 
+    if family in ("mistral", "phi3"):
+        return _add_tiny_spm_tokenizer(w, family)
+    if family == "devstral":
+        w.add("tokenizer.ggml.pre", "tekken")
     byte_enc = bytes_to_unicode()
     tokens = [byte_enc[i] for i in range(256)]
     merges = []
@@ -172,4 +179,43 @@ def add_tiny_tokenizer(w: GGUFWriter, family: str) -> int:
     w.add("tokenizer.ggml.token_type", np.array(types, dtype=np.int32))
     w.add("tokenizer.ggml.bos_token_id", 256 + len(pairs))
     w.add("tokenizer.ggml.eos_token_id", 256 + len(pairs) + 1)
+    return len(tokens)
+
+
+def _add_tiny_spm_tokenizer(w: GGUFWriter, family: str) -> int:
+    """Minimal SentencePiece vocab: <unk>/<s>/</s> + 256 byte-fallback pieces
+    + single chars + a few scored multi-char pieces (same layout a real
+    Mistral/Phi-3 GGUF ships)."""
+    V = 1  # NORMAL
+    tokens = ["<unk>", "<s>", "</s>"]
+    scores = [0.0, 0.0, 0.0]
+    types = [2, 3, 3]  # UNKNOWN, CONTROL, CONTROL
+    for b in range(256):
+        tokens.append(f"<0x{b:02X}>")
+        scores.append(0.0)
+        types.append(6)  # BYTE
+    import string
+
+    for ch in "▁" + string.ascii_letters + string.digits + string.punctuation:
+        tokens.append(ch)
+        scores.append(-1.0)
+        types.append(V)
+    pieces = ["▁the", "▁hello", "▁world", "he", "ll", "lo",
+              "th", "er", "in", "ing", "ion"]
+    for i, piece in enumerate(pieces):
+        tokens.append(piece)
+        scores.append(-2.0 - 0.1 * i)
+        types.append(V)
+    if family == "phi3":
+        specials = ["<|end|>", "<|user|>", "<|assistant|>", "<|system|>"]
+        tokens += specials
+        scores += [0.0] * len(specials)
+        types += [3] * len(specials)
+    w.add("tokenizer.ggml.model", "llama")
+    w.add("tokenizer.ggml.tokens", tokens)
+    w.add("tokenizer.ggml.scores", np.array(scores, dtype=np.float32))
+    w.add("tokenizer.ggml.token_type", np.array(types, dtype=np.int32))
+    w.add("tokenizer.ggml.bos_token_id", 1)
+    w.add("tokenizer.ggml.eos_token_id", 2)
+    w.add("tokenizer.ggml.add_bos_token", True)
     return len(tokens)
