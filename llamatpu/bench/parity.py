@@ -18,6 +18,11 @@ quantization variant derives from the same master by the exact ggml encode
   q8_0-kvint8   q8_0 weights + int8 KV cache (ops/kv_quant.py)
   q4_0          Q4_0 fused dequant
   q4_0-pack4    Q4_0 packed nibbles (--pack4 storage)
+  q8_row        Q8_0 re-quantized per OUT ROW (--rowq serving format,
+                models/weights.py rowq_requant): decode cast-and-dot kernel
+  q8_row-a8     q8_row with the int8 MXU path FORCED at every width — adds
+                the per-token activation quantization the prefill/batch
+                GEMMs use (ops/int8_prefill.py); measures the full w8a8 loss
 
 Caveat (documented, not hidden): the master is random, so absolute ppl values
 are meaningless; the DELTAS between variants measure numeric fidelity of each
@@ -30,7 +35,7 @@ from __future__ import annotations
 import numpy as np
 
 VARIANTS = ("f32", "bf16", "q8_0", "q8_0-int8dot", "q8_0-kvint8",
-            "q4_0", "q4_0-pack4")
+            "q4_0", "q4_0-pack4", "q8_row", "q8_row-a8")
 
 # keys quantized in a real GGUF checkpoint: the dense llama graph, plus the
 # MoE routed-expert stacks and the always-on shared expert (router /
@@ -58,9 +63,10 @@ def make_variant(master, variant: str):
 
     from llamatpu.models.loader import LoadedModel
     from llamatpu.models.weights import (prepare_qtensor, quantize_array_q4_0,
-                                         quantize_array_q8_0)
+                                         quantize_array_q8_0, rowq_requant)
 
-    kind = ("q8_0" if variant.startswith("q8_0")
+    kind = ("q8_row" if variant.startswith("q8_row")
+            else "q8_0" if variant.startswith("q8_0")
             else "q4_0" if variant.startswith("q4_0") else None)
     pack4 = variant == "q4_0-pack4"
     impl = ("int8" if variant == "q8_0-int8dot"
@@ -74,12 +80,20 @@ def make_variant(master, variant: str):
         arr = np.asarray(arr)
         if kind is None:
             return arr.astype(np.float32 if variant == "f32" else jnp.bfloat16)
+        if kind == "q8_row":  # exact load path: GGUF Q8_0 encode, then the
+            return rowq_requant(  # --rowq load-time conversion
+                prepare_qtensor(quantize_array_q8_0(arr)))
         q = quantize_array_q8_0(arr) if kind == "q8_0" else quantize_array_q4_0(arr)
         return prepare_qtensor(q, pack4=pack4)
 
     for k in _MATMUL_KEYS:
         if k in lw:
-            lw[k] = conv(lw[k])
+            if kind == "q8_row" and k.endswith("_exps"):
+                # routed experts stay Q8_0 under --rowq (grouped kernel
+                # layout) — mirror models/weights.py rowq_convert_weights
+                lw[k] = prepare_qtensor(quantize_array_q8_0(np.asarray(lw[k])))
+            else:
+                lw[k] = conv(lw[k])
     w["layers"] = lw
     w["wcls"] = conv(w["wcls"])
     # token embedding: real checkpoints quantize it too; the lookup reads the
@@ -128,8 +142,20 @@ def parity_table(preset: str = "llama32-1b", corpus_len: int = 1024,
     # IDENTICAL windows with identical context
     for v in variants:
         model, kw = make_variant(master, v)
-        r = perplexity(model, corpus, chunk=16, cache_len=cache_len,
-                       stride=cache_len // 2, **kw)
+        if v.endswith("-a8"):
+            # force the int8 MXU activation-quant path at the ppl chunk width
+            # (normally prefill-only, T >= INT8_MXU_MIN_T)
+            from llamatpu.ops import int8_prefill
+
+            saved, int8_prefill.INT8_MXU_MIN_T = int8_prefill.INT8_MXU_MIN_T, 1
+            try:
+                r = perplexity(model, corpus, chunk=16, cache_len=cache_len,
+                               stride=cache_len // 2, **kw)
+            finally:
+                int8_prefill.INT8_MXU_MIN_T = saved
+        else:
+            r = perplexity(model, corpus, chunk=16, cache_len=cache_len,
+                           stride=cache_len // 2, **kw)
         if v == "f32":
             base_ppl = r["ppl"]
         rows.append({"variant": v, "ppl": r["ppl"], "tokens": r["tokens"],

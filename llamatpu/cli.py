@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="store Q4_0 weights as packed nibbles: half the "
                              "HBM footprint, same decode speed (the chip is "
                              "value-rate-bound; fits e.g. Qwen1.5-MoE on one chip)")
+        sp.add_argument("--rowq", action="store_true",
+                        help="serve Q8_0 weights as per-row int8 (q8_row): "
+                             "scale-free decode streaming + int8 MXU prefill; "
+                             "fidelity measured by the PARITY q8_row rows")
         sp.add_argument("--prefill-chunk", type=int, default=128)
         sp.add_argument("--seed", type=int, default=42)
         sp.add_argument("--metrics-format", choices=["human", "json", "github", "none"],
@@ -195,7 +199,8 @@ def cmd_run(args) -> int:
                     seed=args.seed, prefill_chunk=args.prefill_chunk,
                     cache_dtype=_cache_dtype(args), metrics=metrics,
                     mesh=_mesh(args), ep=getattr(args, "ep", False),
-                    spec_decode=getattr(args, "spec_decode", 0))
+                    spec_decode=getattr(args, "spec_decode", 0),
+                    rowq=getattr(args, "rowq", False))
     if args.dump_hlo:
         from llamatpu.utils.profiling import dump_decode_hlo
 

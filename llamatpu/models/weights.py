@@ -36,6 +36,10 @@ class QTensor:
                        # f16 block scales; Mosaic has no f16, and f32 costs only
                        # +1/16 byte/weight of HBM traffic)
     kind: str = "q8_0"  # "q8_0" | "q4_0" (affects only provenance/bit width)
+                        # | "q8_row": per-OUT-ROW requant (scales [..., out, 1],
+                        # qs CANONICAL) — the TPU serving format for the int8
+                        # MXU prefill path + scale-free decode streaming; see
+                        # rowq_requant below.
     logical_out: int = 0  # real out-features when rows were padded to a lane
                           # multiple (e.g. Phi-3's 32064-row vocab head); 0 = full
     layout: str = "canonical"  # "canonical" | "interleaved" | "packed4"
@@ -60,6 +64,8 @@ class QTensor:
         """Materialize the full-precision matrix in CANONICAL column order
         (XLA fallback path / tests)."""
         qs = self.qs
+        if self.kind == "q8_row":  # scales [..., out, 1] broadcast over in
+            return qs.astype(dtype) * self.scales.astype(dtype)
         if self.layout == "packed4":
             qs = deinterleave_columns(unpack4_columns(qs))
         elif self.layout == "interleaved":
@@ -186,6 +192,69 @@ def prepare_qtensor(w: QTensor, pack4: bool = False) -> QTensor:
         return QTensor(pack4_columns(qs), w.scales, w.kind, w.logical_out,
                        layout="packed4")
     return QTensor(qs, w.scales, w.kind, w.logical_out, layout="interleaved")
+
+
+def rowq_requant(w: QTensor) -> QTensor:
+    """Requantize a Q8_0 tensor to per-OUT-ROW int8 (`q8_row`): one f32 scale
+    per output row instead of one f16 per 32 inputs.
+
+    This is a deliberate TPU-serving trade (measured by bench/parity.py's
+    `q8_row` rows, gated in tests/test_parity_gate.py):
+    - decode streams 1.0 byte/weight instead of 1.125 (block scales gone) and
+      the in-kernel dequant collapses to an int8->bf16 cast — the row scale
+      multiplies the [T, O] OUTPUT outside the kernel, where XLA fuses it
+    - prefill/batch can feed the int8 values STRAIGHT to the MXU's native
+      int8xint8->int32 path (2x bf16 peak) with per-token activation scales
+      (ops/int8_prefill.py) — the reference has no analog tier (its int8 dot
+      is the CPU block-dot, Q8_0FloatTensor.java:90-121)
+    - cost: a second rounding against the row max; rows mixing very different
+      block magnitudes lose low bits (the parity table quantifies it)
+
+    Input may be canonical or interleaved (load-time layouts); output is
+    CANONICAL — per-row scales have no column structure, so the interleave
+    permutation buys nothing. Processes layer-by-layer to bound the f32
+    dequant working set (an 8B w13 stack is ~15 GB at once). Numpy, load-time.
+    """
+    assert w.kind == "q8_0", f"rowq_requant: want q8_0, got {w.kind}"
+    qs = np.asarray(w.qs)
+    scales = np.asarray(w.scales)
+    if w.layout == "interleaved":
+        qs = deinterleave_columns(qs)
+    else:
+        assert w.layout == "canonical", "rowq_requant: packed4 is Q4_0-only"
+    lead = qs.shape[:-2]
+    qs2 = qs.reshape(-1, *qs.shape[-2:])
+    sc2 = scales.reshape(-1, *scales.shape[-2:])
+    out_q = np.empty_like(qs2)
+    out_s = np.empty((qs2.shape[0], qs2.shape[1], 1), np.float32)
+    for l in range(qs2.shape[0]):
+        v = qs2[l].astype(np.float32) * np.repeat(sc2[l], BLOCK, axis=-1)
+        r = np.max(np.abs(v), axis=-1, keepdims=True) / 127.0  # [O, 1]
+        inv = np.where(r > 0, 1.0 / np.where(r > 0, r, 1.0), 0.0)
+        s = v * inv
+        out_q[l] = np.trunc(s + np.copysign(0.5, s)).astype(np.int8)
+        out_s[l] = r
+    return QTensor(out_q.reshape(*lead, *qs.shape[-2:]),
+                   out_s.reshape(*lead, qs.shape[-2], 1),
+                   kind="q8_row", logical_out=w.logical_out, layout="canonical")
+
+
+def rowq_convert_weights(weights: dict) -> dict:
+    """Convert every dense-path Q8_0 QTensor in a (fused) weights pytree to
+    q8_row. MoE routed-expert stacks keep Q8_0 (the grouped expert kernel has
+    its own layout); everything else — attention/FFN/shared-expert/vocab-head
+    — switches to the row-scale serving format."""
+    skip = {"gate_exps", "up_exps", "down_exps"}
+    layers = {}
+    for k, v in weights["layers"].items():
+        if k not in skip and isinstance(v, QTensor) and v.kind == "q8_0":
+            v = rowq_requant(v)
+        layers[k] = v
+    out = dict(weights)
+    out["layers"] = layers
+    if isinstance(out.get("wcls"), QTensor) and out["wcls"].kind == "q8_0":
+        out["wcls"] = rowq_requant(out["wcls"])
+    return out
 
 
 def stack_qtensors(ts: list[QTensor]) -> QTensor:

@@ -110,6 +110,89 @@ def _kernel_li(li_ref, x_ref, w_ref, s_ref, o_ref, *, dot_dtype, interleaved):
                  dot_dtype=dot_dtype, interleaved=interleaved)
 
 
+def _kernel_rowq(x_ref, w_ref, o_ref, *, dot_dtype):
+    """q8_row kernel: pure cast-and-dot — the per-row scale multiplies the
+    [T, O] output OUTSIDE the kernel (XLA fuses it), so the weight stream is
+    exactly 1.0 byte/weight and the VPU does no dequant multiply at all."""
+    o_ref[:] = jax.lax.dot_general(
+        x_ref[:].astype(dot_dtype), w_ref[:].astype(dot_dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _kernel_rowq_li(li_ref, x_ref, w_ref, o_ref, *, dot_dtype):
+    o_ref[:] = jax.lax.dot_general(
+        x_ref[:].astype(dot_dtype), w_ref[0].astype(dot_dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _rowq_matmul_2d(qs, scales, x2, interpret=False):
+    """y[T, O] = (x2[T, I] @ qs[O, I]^T) * scales[O, 1]^T (q8_row, canonical)."""
+    O, I = qs.shape
+    T = x2.shape[0]
+    xbytes = 4 if x2.dtype == jnp.float32 else 2
+    tp, tt, to = _tiles(O, I, T, xbytes)
+    dot_dtype = jnp.float32 if x2.dtype == jnp.float32 else jnp.bfloat16
+    if tp != T:
+        x2 = jnp.pad(x2, ((0, tp - T), (0, 0)))
+    y = pl.pallas_call(
+        functools.partial(_kernel_rowq, dot_dtype=dot_dtype),
+        grid=(tp // tt, O // to),
+        in_specs=[
+            pl.BlockSpec((tt, I), lambda t, o: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((to, I), lambda t, o: (o, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tt, to), lambda t, o: (t, o), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((tp, O), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * tp * O * I,
+            bytes_accessed=(tp // tt) * O * I + tp * I * xbytes + tp * O * 4,
+            transcendentals=0),
+    )(x2, qs)
+    y = y * scales[:, 0][None, :]
+    if tp != T:
+        y = y[:T]
+    return y
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _rowq_matmul_2d_li(qs3, scales3, x2, li, interpret=False):
+    """Stacked q8_row: y[T, O] = (x2 @ qs3[li]^T) * scales3[li, :, 0]."""
+    L, O, I = qs3.shape
+    T = x2.shape[0]
+    xbytes = 4 if x2.dtype == jnp.float32 else 2
+    tp, tt, to = _tiles(O, I, T, xbytes)
+    dot_dtype = jnp.float32 if x2.dtype == jnp.float32 else jnp.bfloat16
+    if tp != T:
+        x2 = jnp.pad(x2, ((0, tp - T), (0, 0)))
+    li_arr = jnp.asarray(li, jnp.int32).reshape(1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(tp // tt, O // to),
+        in_specs=[
+            pl.BlockSpec((tt, I), lambda t, o, li_: (t, 0)),
+            pl.BlockSpec((1, to, I), lambda t, o, li_: (li_[0], o, 0)),
+        ],
+        out_specs=pl.BlockSpec((tt, to), lambda t, o, li_: (t, o)),
+    )
+    y = pl.pallas_call(
+        functools.partial(_kernel_rowq_li, dot_dtype=dot_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((tp, O), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * tp * O * I,
+            bytes_accessed=(tp // tt) * O * I + tp * I * xbytes + tp * O * 4,
+            transcendentals=0),
+    )(li_arr, x2, qs3)
+    y = y * scales3[li][:, 0][None, :]
+    if tp != T:
+        y = y[:T]
+    return y
+
+
 def unpack4_halves(wp, s, dot_dtype):
     """In-kernel packed4 dequant: wp int8 [TO, I/2] (two nibbles per byte,
     interleaved column order split across halves), s f32 [TO, I/32]. Returns
@@ -303,6 +386,28 @@ def quant_matmul_pallas(w: QTensor, x: jnp.ndarray, interpret: bool | None = Non
     packed = w.layout == "packed4"
     O, wI = qs.shape[-2:]
     I = wI * 2 if packed else wI
+    if w.kind == "q8_row":
+        from llamatpu.ops.int8_prefill import INT8_MXU_MIN_T, rowq_matmul
+
+        x2 = x.reshape(T, x.shape[-1])
+        if T >= INT8_MXU_MIN_T:
+            # compute-bound regime: native int8 MXU dot, XLA-tiled
+            y = rowq_matmul(w, x2, li=li)
+        else:
+            tp, tt, to = _tiles(O, I, T, xbytes=2)
+            if not interpret and to == O and to * wI > _VMEM_BUDGET:
+                from llamatpu.ops.matmul import matmul
+
+                if stacked:
+                    from llamatpu.models.transformer import _index_qtensor
+
+                    w = _index_qtensor(w, li)
+                return matmul(w, x, impl="xla")
+            if stacked:
+                y = _rowq_matmul_2d_li(qs, scales, x2, li, interpret=interpret)
+            else:
+                y = _rowq_matmul_2d(qs, scales, x2, interpret=interpret)
+        return y.reshape(*lead, O).astype(x.dtype)
     xbytes = 4 if x.dtype == jnp.float32 else 2
     tp, tt, to = _tiles(O, I, T, xbytes, packed)
     if not interpret and to == O and (to * wI + to * (I // BLOCK) * 4) > _VMEM_BUDGET:

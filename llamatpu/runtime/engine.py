@@ -66,6 +66,7 @@ class Engine:
         mesh=None,
         ep: bool = False,
         spec_decode: int = 0,
+        rowq: bool = False,
     ):
         self.model = model
         self.cfg = model.cfg
@@ -95,6 +96,8 @@ class Engine:
         # (f32/XLA, tested); under bf16 TPU kernels the T=1+K tiling can flip
         # argmax near-ties, the standard speculative-decoding caveat. Sampled
         # requests transparently use the normal path.
+        assert not (rowq and mesh is not None), \
+            "rowq serving format is single-chip for now (sharding specs assume block scales)"
         self.spec_k = max(0, int(spec_decode))
         assert self.spec_k == 0 or batch_size == 1, \
             "speculative decoding is single-sequence"
@@ -111,7 +114,15 @@ class Engine:
 
                 # unsharded: fuse qkv / gate+up into single wider matmuls
                 # (bit-exact row concat; fewer+bigger weight streams)
-                self.weights = jax.device_put(fuse_layer_weights(self.cfg, model.weights))
+                w = fuse_layer_weights(self.cfg, model.weights)
+                if rowq:
+                    # per-row int8 serving format: scale-free decode streams
+                    # + int8 MXU prefill (models/weights.py rowq_requant;
+                    # fidelity gated by bench/parity.py `q8_row` rows)
+                    from llamatpu.models.weights import rowq_convert_weights
+
+                    w = rowq_convert_weights(w)
+                self.weights = jax.device_put(w)
             jax.block_until_ready(jax.tree.leaves(self.weights))
         self.metrics.weight_upload_s = t.elapsed
 

@@ -14,11 +14,15 @@ sys.path.insert(0, ".")
 
 def bench_preset(name: str, quant: str = "q8_0", pp: int = 512, tg: int = 128):
     """Preset may carry a quant suffix, e.g. llama3-8b:q4_0 or :q4_0p
-    (trailing p = packed nibbles, half HBM)."""
+    (trailing p = packed nibbles, half HBM; trailing r = --rowq per-row int8
+    serving format, q8_0 only)."""
     if ":" in name:
         name, quant = name.split(":")
     pack4 = quant.endswith("p")
     if pack4:
+        quant = quant[:-1]
+    rowq = quant.endswith("r")
+    if rowq:
         quant = quant[:-1]
     import numpy as np
 
@@ -30,7 +34,8 @@ def bench_preset(name: str, quant: str = "q8_0", pp: int = 512, tg: int = 128):
                                   pack4=pack4)
     print(f"# {name}: engine init (upload + compile)...", file=sys.stderr, flush=True)
     engine = Engine(model, cache_len=1024, prefill_chunk=512, temperature=0.0,
-                    decode_window=128, impl="pallas", aot_compile=True)
+                    decode_window=128, impl="pallas", aot_compile=True,
+                    rowq=rowq)
     print(f"# {name}: benching...", file=sys.stderr, flush=True)
     rng = np.random.default_rng(42)
     prompt = rng.integers(0, model.cfg.vocab_size, pp).tolist()
@@ -52,7 +57,7 @@ def bench_preset(name: str, quant: str = "q8_0", pp: int = 512, tg: int = 128):
         n += len(w)
     tg_s = time.perf_counter() - t0
     del engine
-    return {"model": name, "quant": quant + ("p" if pack4 else ""),
+    return {"model": name, "quant": quant + ("p" if pack4 else "") + ("r" if rowq else ""),
             "decode_tok_s": round(n / tg_s, 1),
             "prefill_tok_s": round(pp / pp_s, 1)}
 

@@ -2,7 +2,10 @@
 """Serving latency matrix: TTFT / inter-token p50/p99 / adversary stalls /
 prefix-cache warm TTFT through the continuous batcher, dense and paged.
 
-  python scripts/bench_serving.py [preset] [quant]   (default llama32-1b q8_0)
+  python scripts/bench_serving.py [preset] [quant] [batches]
+  (default llama32-1b q8_0 8,16,32; batches e.g. "16" to trim compile cost —
+  each engine config is its own set of remote compiles, 10-25 min apiece on
+  the 2026-08-21 relay)
 
 Emits one JSON line per scenario (appendable to docs/perf-history.jsonl)."""
 import json
@@ -22,11 +25,13 @@ def main() -> int:
 
     preset = sys.argv[1] if len(sys.argv) > 1 else "llama32-1b"
     quant = sys.argv[2] if len(sys.argv) > 2 else "q8_0"
+    batches = tuple(int(b) for b in sys.argv[3].split(",")) if len(sys.argv) > 3 \
+        else (8, 16, 32)
     pack4 = quant.endswith("p")
     model = build_synthetic_model(preset, quant=quant.rstrip("p"),
                                   context_length=2048, pack4=pack4)
     impl = "pallas"
-    for B in (8, 16, 32):
+    for B in batches:
         for paged in (False, True):
             if paged:
                 eng = PagedBatchEngine(model, batch_size=B, block_size=32,

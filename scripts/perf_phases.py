@@ -20,11 +20,14 @@ the residual (full - sum of parts) = while_loop/sampling/fusion overhead.
 """
 from __future__ import annotations
 
+import faulthandler
 import functools
 import json
 import pathlib
 import sys
 import time
+
+faulthandler.dump_traceback_later(240, repeat=True, file=sys.stderr)
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
@@ -40,6 +43,7 @@ def timed(prog, state, n_tokens=ITERS, reps=REPS):
     """Best-of-reps seconds per iteration for prog(state)->state."""
     out = prog(state)
     jax.block_until_ready(out)
+    print("    [compiled+warm]", flush=True)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -55,6 +59,87 @@ def qbytes(t) -> int:
     if isinstance(t, QTensor):
         return t.qs.size * t.qs.dtype.itemsize + t.scales.size * 4
     return t.size * t.dtype.itemsize
+
+
+def moe_phase_programs(eng, pos: int):
+    """Ablation programs for a Qwen2-MoE engine: the matmul chain splits into
+    attention-side matmuls (wqkv/wo), the always-on shared expert, and the
+    routed top-k grouped-expert kernels (ops/moe_grouped.py), so the breakdown
+    says which stream underruns the DMA rate."""
+    import jax.numpy as jnp
+
+    from llamatpu.models.transformer import _moe_ffn
+    from llamatpu.ops.matmul import matmul
+
+    cfg = eng.cfg
+    W = eng.weights
+    slw = W["layers"]
+    L = cfg.n_layers
+    li_arr = jnp.arange(L, dtype=jnp.int32)
+
+    def loop(token_fn):
+        def body(_, s):
+            return token_fn(s)
+
+        return jax.jit(lambda s: jax.lax.fori_loop(0, ITERS, body, s))
+
+    progs = {}
+
+    def attn_mm_token(x):
+        def layer(x, li):
+            y1 = matmul(slw["wqkv"], x, "pallas", li=li)
+            a = y1[..., : cfg.q_dim]
+            y2 = matmul(slw["wo"], a, "pallas", li=li)
+            return x + y2 * 1e-6, None
+
+        x, _ = jax.lax.scan(layer, x, li_arr)
+        return x
+
+    progs["attn_matmuls"] = (loop(attn_mm_token),
+                             jnp.zeros((1, 1, cfg.dim), jnp.bfloat16),
+                             sum(qbytes(slw[k]) for k in ("wqkv", "wo")))
+
+    def shared_token(x):
+        def layer(x, li):
+            g13 = matmul(slw["shared_g13"], x, "pallas", li=li)
+            ff = g13.shape[-1] // 2
+            act = (jax.nn.silu(g13[..., :ff].astype(jnp.float32))
+                   .astype(x.dtype) * g13[..., ff:])
+            y = matmul(slw["shared_down"], act, "pallas", li=li)
+            return x + y * 1e-6, None
+
+        x, _ = jax.lax.scan(layer, x, li_arr)
+        return x
+
+    progs["shared_expert"] = (loop(shared_token),
+                              jnp.zeros((1, 1, cfg.dim), jnp.bfloat16),
+                              sum(qbytes(slw[k]) for k in ("shared_g13", "shared_down")))
+
+    # routed experts: full _moe_ffn minus the shared-expert terms is awkward to
+    # split; run the whole MoE FFN (router + routed grouped kernels + shared)
+    # and subtract the shared phase in the report
+    def moe_token(x):
+        def layer(x, li):
+            lw = jax.tree.map(lambda a: (a.__class__(a.qs[li], a.scales[li], a.kind,
+                                                     a.logical_out, a.layout)
+                                         if hasattr(a, "qs") else a[li]),
+                              slw, is_leaf=lambda a: hasattr(a, "qs"))
+            y = _moe_ffn(cfg, x, lw, "pallas", None, slw, li)
+            return x + y * 1e-6, None
+
+        x, _ = jax.lax.scan(layer, x, li_arr)
+        return x
+
+    # active-expert bytes/token: top-k routed (3 mats each) + shared
+    eb = 0
+    for k in ("gate_exps", "up_exps", "down_exps"):
+        t = slw[k]
+        per_expert = qbytes(t) // (cfg.n_layers * cfg.n_experts)
+        eb += per_expert * cfg.n_experts_used * cfg.n_layers
+    eb += sum(qbytes(slw[k]) for k in ("shared_g13", "shared_down"))
+    progs["moe_ffn(routed+shared)"] = (loop(moe_token),
+                                       jnp.zeros((1, 1, cfg.dim), jnp.bfloat16), eb)
+    return progs
 
 
 def phase_programs(eng, pos: int):
@@ -193,8 +278,8 @@ def run_preset(preset: str, quant: str, pack4: bool):
     model = build_synthetic_model(preset, quant=quant, pack4=pack4)
     print(f"  [weights built {time.perf_counter()-t0:.0f}s]", flush=True)
     t0 = time.perf_counter()
-    eng = Engine(model, cache_len=1024, impl="pallas", temperature=0.0,
-                 decode_window=16)
+    eng = Engine(model, cache_len=1024, prefill_chunk=512, impl="pallas",
+                 temperature=0.0, decode_window=128)
     print(f"  [engine ready {time.perf_counter()-t0:.0f}s "
           f"(upload {eng.metrics.weight_upload_s:.0f}s "
           f"compile {eng.metrics.compile_s:.0f}s)]", flush=True)
@@ -219,9 +304,14 @@ def run_preset(preset: str, quant: str, pack4: bool):
         cur, pos, done = w[-1], pos + len(w), done + len(w)
     full_s = min(full_s, (time.perf_counter() - t0) / ITERS)
 
+    print(f"  full window: {full_s*1e3:.3f} ms/tok ({1/full_s:.1f} tok/s)",
+          flush=True)
     rows = [{"phase": "full", "ms": full_s * 1e3, "gbs": None}]
     total_parts = 0.0
-    for name, (prog, state, nbytes) in phase_programs(eng, 512).items():
+    progs = (moe_phase_programs(eng, 512) if eng.cfg.is_moe
+             else phase_programs(eng, 512))
+    for name, (prog, state, nbytes) in progs.items():
+        print(f"  [{name}: tracing+compiling...]", flush=True)
         s = timed(prog, state)
         total_parts += s
         rows.append({"phase": name, "ms": s * 1e3,

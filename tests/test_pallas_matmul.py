@@ -104,3 +104,113 @@ def test_engine_pack4_matches_unpacked(tmp_path):
                                    impl="pallas", last_logit_only=True)
         outs.append(np.asarray(logits))
     np.testing.assert_allclose(outs[1], outs[0], rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------- q8_row
+
+
+def make_rowq(o, i, seed=0, stacked=0):
+    from llamatpu.models.weights import prepare_qtensor, rowq_requant
+
+    rng = np.random.default_rng(seed)
+    shape = (stacked, o, i) if stacked else (o, i)
+    qs = rng.integers(-127, 128, shape, dtype=np.int8)
+    scales = (rng.random((*shape[:-1], i // 32)).astype(np.float32) * 0.02 + 0.001)
+    return rowq_requant(prepare_qtensor(QTensor(qs, scales, "q8_0")))
+
+
+def test_rowq_requant_reconstruction():
+    """Requant error is bounded by half the row scale, elementwise."""
+    from llamatpu.models.weights import rowq_requant
+
+    rng = np.random.default_rng(5)
+    qs = rng.integers(-127, 128, (64, 128), dtype=np.int8)
+    scales = (rng.random((64, 128 // 32)).astype(np.float32) * 0.02 + 0.001)
+    w = QTensor(qs, scales, "q8_0")
+    v = np.asarray(w.dequant(jnp.float32))
+    wr = rowq_requant(w)
+    assert wr.kind == "q8_row" and wr.scales.shape == (64, 1)
+    vr = np.asarray(wr.dequant(jnp.float32))
+    bound = np.asarray(wr.scales) * 0.5 + 1e-9
+    assert np.all(np.abs(v - vr) <= bound + 1e-7)
+    # interleaved input produces the identical result (canonical semantics)
+    from llamatpu.models.weights import prepare_qtensor
+
+    wr2 = rowq_requant(prepare_qtensor(w))  # lane-pads rows 64 -> 128
+    np.testing.assert_array_equal(np.asarray(wr.qs), np.asarray(wr2.qs)[:64])
+
+
+@pytest.mark.parametrize("o,i,t", [(64, 64, 1), (128, 256, 1), (256, 128, 7)])
+def test_rowq_kernel_matches_dequant(o, i, t):
+    w = make_rowq(o, i, seed=o + i)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((t, i)), jnp.float32)
+    y = quant_matmul_pallas(w, x, interpret=True)
+    ref = x @ w.dequant(jnp.float32).T
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_rowq_stacked_kernel_matches_dequant():
+    w = make_rowq(128, 64, seed=11, stacked=3)
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((1, 64)), jnp.float32)
+    for li in range(3):
+        y = quant_matmul_pallas(w, x, interpret=True, li=jnp.int32(li))
+        wl = QTensor(w.qs[li], w.scales[li], "q8_row")
+        ref = x @ wl.dequant(jnp.float32).T
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_rowq_int8_mxu_path():
+    """T >= INT8_MXU_MIN_T routes to the int8 MXU dot; error is bounded by the
+    per-token activation quantization (~1/254 relative of the row amax)."""
+    from llamatpu.ops import int8_prefill
+
+    o, i, t = 128, 256, int8_prefill.INT8_MXU_MIN_T
+    w = make_rowq(o, i, seed=3)
+    x = jnp.asarray(np.random.default_rng(4).standard_normal((t, i)), jnp.float32)
+    y = np.asarray(quant_matmul_pallas(w, x, interpret=True))
+    ref = np.asarray(x @ w.dequant(jnp.float32).T)
+    # activation quant: |dx| <= amax/254 per element -> dot error <= i * |w|max * amax/254
+    denom = np.maximum(np.abs(ref), np.mean(np.abs(ref)))
+    assert np.max(np.abs(y - ref) / denom) < 0.15
+    # and it is NOT the exact dequant result (the int8 path really ran)
+    assert not np.allclose(y, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_rowq_stacked_int8_mxu_path():
+    from llamatpu.ops import int8_prefill
+
+    w = make_rowq(64, 256, seed=7, stacked=2)
+    t = int8_prefill.INT8_MXU_MIN_T
+    x = jnp.asarray(np.random.default_rng(8).standard_normal((t, 256)), jnp.float32)
+    for li in range(2):
+        y = np.asarray(quant_matmul_pallas(w, x, interpret=True, li=jnp.int32(li)))
+        wl = QTensor(w.qs[li], w.scales[li], "q8_row")
+        ref = np.asarray(x @ wl.dequant(jnp.float32).T)
+        denom = np.maximum(np.abs(ref), np.mean(np.abs(ref)))
+        assert np.max(np.abs(y - ref) / denom) < 0.15
+
+
+def test_engine_rowq_forward_close_to_q8_0(tmp_path):
+    """Full tiny-llama forward with --rowq weights stays close to the Q8_0
+    forward (requant error only; same checkpoint)."""
+    import tiny_models
+    from llamatpu.gguf import GGMLType
+    from llamatpu.models import loader as mloader
+    from llamatpu.models.loader import LoadedModel
+    from llamatpu.models.weights import rowq_convert_weights
+    from llamatpu.models.transformer import forward_tokens, init_cache
+
+    path = tmp_path / "mr.gguf"
+    tiny_models.build_tiny_gguf(path, family="llama", quant=GGMLType.Q8_0, seed=6)
+    model = mloader.load_model(str(path), mode="quant", param_dtype=jnp.float32,
+                               load_tokenizer=False)
+    toks = jnp.array([[3, 17, 42]], jnp.int32)
+    outs = {}
+    for rowq in (False, True):
+        w = rowq_convert_weights(model.weights) if rowq else model.weights
+        cache = init_cache(model.cfg, 1, jnp.float32)
+        logits, _ = forward_tokens(model.cfg, w, toks, cache, 0,
+                                   impl="pallas", last_logit_only=True)
+        outs[rowq] = np.asarray(logits)
+    scale = np.std(outs[False]) + 1e-9
+    assert np.max(np.abs(outs[True] - outs[False])) / scale < 0.2

@@ -68,6 +68,17 @@ def test_q8_tracks_f32(shape_rows):
         assert abs(rows["q8_0-kvint8"]["rel"]) < 0.03, rows["q8_0-kvint8"]
 
 
+def test_rowq_bounded(shape_rows):
+    """The --rowq serving format (per-row requant) and its w8a8 int8-MXU
+    prefill path must stay close to f32: the requant is a second int8
+    rounding, so its loss class sits between q8_0 and q4_0."""
+    name, rows = shape_rows
+    if "q8_row" in rows:
+        assert abs(rows["q8_row"]["rel"]) < 0.05, (name, rows["q8_row"])
+    if "q8_row-a8" in rows:
+        assert abs(rows["q8_row-a8"]["rel"]) < 0.08, (name, rows["q8_row-a8"])
+
+
 def test_q4_bounded(shape_rows):
     name, rows = shape_rows
     # 4-bit storage loss on tiny RANDOM weights is large (~30% rel — no
