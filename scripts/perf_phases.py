@@ -94,7 +94,7 @@ def phase_programs(eng, pos: int):
         if getattr(qt, "kind", "") == "q8_row":
             in_dim = qt.qs.shape[-1]
 
-        def step(x, li):
+        def step(qt, x, li):
             y = matmul(qt, x, "pallas", li=li)
             o = y.shape[-1]
             if o >= in_dim:
@@ -103,11 +103,17 @@ def phase_programs(eng, pos: int):
                 x = x + jnp.pad(y, ((0, 0), (0, 0), (0, in_dim - o))).astype(x.dtype) * 1e-6
             return x, None
 
-        def prog_fn(x):
-            x, _ = jax.lax.scan(step, x, li_rep_n(REPEAT_MM))
+        # weights are ARGUMENTS, not closures: a closed-over stack becomes
+        # an embedded constant and the remote compile ships a 300-450 MB
+        # payload ("Broken pipe" after ~25 min — found 2026-08-21)
+        def prog_fn(st):
+            def step_a(x, li):
+                return step(st["qt"], x, li)
+
+            x, _ = jax.lax.scan(step_a, st["x"], li_rep_n(REPEAT_MM))
             return x
 
-        state = jnp.zeros((1, 1, in_dim), jnp.bfloat16)
+        state = {"x": jnp.zeros((1, 1, in_dim), jnp.bfloat16), "qt": qt}
         return jax.jit(prog_fn), state, qbytes(qt), REPEAT_MM
 
     if cfg.is_moe:
@@ -117,17 +123,19 @@ def phase_programs(eng, pos: int):
 
         from llamatpu.models.transformer import _moe_ffn
 
-        def moe_step(x, li):
+        def moe_prog(st):
             from llamatpu.models.transformer import _index_qtensor
 
-            lw = jax.tree.map(
-                lambda a: _index_qtensor(a, li) if hasattr(a, "qs") else a[li],
-                slw, is_leaf=lambda a: hasattr(a, "qs"))
-            y = _moe_ffn(cfg, x, lw, "pallas", None, slw, li)
-            return x + y * 1e-6, None
+            slw_a = st["slw"]
 
-        def moe_prog(x):
-            x, _ = jax.lax.scan(moe_step, x, li_rep_n(REPEAT_MM))
+            def moe_step(x, li):
+                lw = jax.tree.map(
+                    lambda a: _index_qtensor(a, li) if hasattr(a, "qs") else a[li],
+                    slw_a, is_leaf=lambda a: hasattr(a, "qs"))
+                y = _moe_ffn(cfg, x, lw, "pallas", None, slw_a, li)
+                return x + y * 1e-6, None
+
+            x, _ = jax.lax.scan(moe_step, st["x"], li_rep_n(REPEAT_MM))
             return x
 
         eb = 0
@@ -135,7 +143,8 @@ def phase_programs(eng, pos: int):
             eb += qbytes(slw[k]) // cfg.n_experts * cfg.n_experts_used
         eb += sum(qbytes(slw[k]) for k in ("shared_g13", "shared_down") if k in slw)
         progs["moe_ffn(routed+shared)"] = (
-            jax.jit(moe_prog), jnp.zeros((1, 1, cfg.dim), jnp.bfloat16), eb,
+            jax.jit(moe_prog),
+            {"x": jnp.zeros((1, 1, cfg.dim), jnp.bfloat16), "slw": slw}, eb,
             REPEAT_MM)
     else:
         for key in ("wqkv", "wq", "wk", "wv", "wo", "w13", "w1", "w3", "w2"):
@@ -146,36 +155,44 @@ def phase_programs(eng, pos: int):
     kc, vc = eng.cache.k, eng.cache.v
     attn_bytes = int(2 * L * kv * (pos + 16) * hd * kc.dtype.itemsize)
 
-    def attn_step(q4, li):
-        o = decode_attention_auto(q4, kc, vc, pos_vec, cfg.attn_score_scale,
-                                  s_limit=eng.cache_len, layer_index=li)
-        return (q4 + o.reshape(q4.shape) * 1e-6).astype(q4.dtype), None
+    def attn_prog(st):
+        kc_, vc_ = st["kc"], st["vc"]
 
-    def attn_prog(q4):
-        q4, _ = jax.lax.scan(attn_step, q4, li_rep_n(REPEAT_CHEAP))
+        def attn_step(q4, li):
+            o = decode_attention_auto(q4, kc_, vc_, pos_vec,
+                                      cfg.attn_score_scale,
+                                      s_limit=eng.cache_len, layer_index=li)
+            return (q4 + o.reshape(q4.shape) * 1e-6).astype(q4.dtype), None
+
+        q4, _ = jax.lax.scan(attn_step, st["q4"], li_rep_n(REPEAT_CHEAP))
         return q4
 
     progs["attn"] = (jax.jit(attn_prog),
-                     jnp.ones((1, kv, g, hd), jnp.bfloat16) * 0.01, attn_bytes,
+                     {"q4": jnp.ones((1, kv, g, hd), jnp.bfloat16) * 0.01,
+                      "kc": kc, "vc": vc}, attn_bytes,
                      REPEAT_CHEAP)
 
     # --- glue: norms + rope (no matmuls, no writes)
     cos, sin = rope_slices(W, pos_vec, 1)
 
-    def glue_step(x, li):
-        h = rmsnorm(x, slw["attn_norm"][li], cfg.rms_norm_eps)
-        k = h[..., : kv * hd].reshape(1, 1, kv, hd)
-        k = apply_rope(k, cos, sin, cfg.rope_style)
-        h2 = rmsnorm(x, slw["ffn_norm"][li], cfg.rms_norm_eps)
-        return (x + h.astype(x.dtype) * 1e-6 + h2.astype(x.dtype) * 1e-6
-                + jnp.pad(k.reshape(1, 1, -1), ((0, 0), (0, 0), (0, cfg.dim - kv * hd))).astype(x.dtype) * 1e-6), None
+    def glue_prog(st):
+        an, fn, cos_, sin_ = st["an"], st["fn"], st["cos"], st["sin"]
 
-    def glue_prog(x):
-        x, _ = jax.lax.scan(glue_step, x, li_rep_n(REPEAT_CHEAP))
+        def glue_step(x, li):
+            h = rmsnorm(x, an[li], cfg.rms_norm_eps)
+            k = h[..., : kv * hd].reshape(1, 1, kv, hd)
+            k = apply_rope(k, cos_, sin_, cfg.rope_style)
+            h2 = rmsnorm(x, fn[li], cfg.rms_norm_eps)
+            return (x + h.astype(x.dtype) * 1e-6 + h2.astype(x.dtype) * 1e-6
+                    + jnp.pad(k.reshape(1, 1, -1), ((0, 0), (0, 0), (0, cfg.dim - kv * hd))).astype(x.dtype) * 1e-6), None
+
+        x, _ = jax.lax.scan(glue_step, st["x"], li_rep_n(REPEAT_CHEAP))
         return x
 
     progs["glue(norm+rope)"] = (jax.jit(glue_prog),
-                                jnp.zeros((1, 1, cfg.dim), jnp.bfloat16), 0,
+                                {"x": jnp.zeros((1, 1, cfg.dim), jnp.bfloat16),
+                                 "an": slw["attn_norm"], "fn": slw["ffn_norm"],
+                                 "cos": cos, "sin": sin}, 0,
                                 REPEAT_CHEAP)
 
     # --- KV cache writes only
@@ -199,17 +216,61 @@ def phase_programs(eng, pos: int):
     # --- head: final norm + vocab matmul + argmax (once per token)
     from llamatpu.models.transformer import finish_logits
 
-    def head_step(x, _):
-        logits = finish_logits(cfg, W, x, "pallas", last_logit_only=True)
-        nxt = jnp.argmax(logits, axis=-1)
-        return x + (nxt[:, None] * 0).astype(x.dtype)[:, :, None] * 1e-6, None
+    def head_prog(st):
+        wn = {"final_norm": st["final_norm"], "wcls": st["wcls"]}
 
-    def head_prog(x):
-        x, _ = jax.lax.scan(head_step, x, jnp.arange(REPEAT_HEAD))
+        def head_step(x, _):
+            logits = finish_logits(cfg, wn, x, "pallas", last_logit_only=True)
+            nxt = jnp.argmax(logits, axis=-1)
+            # fold nxt back in WITHOUT a *0 (XLA const-folds that and DCEs the
+            # whole head — caught when 'head' reported 295 TB/s)
+            return x + nxt[:, None, None].astype(x.dtype) * 1e-9, None
+
+        x, _ = jax.lax.scan(head_step, st["x"], jnp.arange(REPEAT_HEAD))
         return x
 
-    progs["head"] = (jax.jit(head_prog), jnp.zeros((1, 1, cfg.dim), jnp.bfloat16),
+    progs["head"] = (jax.jit(head_prog),
+                     {"x": jnp.zeros((1, 1, cfg.dim), jnp.bfloat16),
+                      "final_norm": W["final_norm"], "wcls": W["wcls"]},
                      qbytes(W["wcls"]), REPEAT_HEAD)
+
+    # --- sampling tail: argmax + stop-token isin over a [1, V] logits buffer
+    from llamatpu.ops import sampling
+
+    def sample_prog(st):
+        stops = st["stops"]
+
+        def sample_step(lg, i):
+            nxt = sampling.greedy(lg[:, 0])
+            done = jnp.isin(nxt, stops).any()
+            return lg + (nxt[:, None, None].astype(lg.dtype)
+                         + done.astype(lg.dtype)) * 1e-9, None
+
+        lg, _ = jax.lax.scan(sample_step, st["lg"], jnp.arange(REPEAT_CHEAP))
+        return lg
+
+    progs["sample+stop"] = (jax.jit(sample_prog),
+                            {"lg": jnp.zeros((1, 1, cfg.vocab_size), jnp.float32),
+                             "stops": jnp.full((8,), -1, jnp.int32)}, 0,
+                            REPEAT_CHEAP)
+
+    # --- embedding gather (+ rope row gather)
+    def embed_prog(st):
+        emb, rc, rs = st["emb"], st["rc"], st["rs"]
+
+        def embed_step(tok, i):
+            x = emb[tok[:, None]]
+            c = rc[pos_vec[:, None] + i]
+            nxt = (x[..., 0] + c[..., 0] * 1e-6).astype(jnp.int32)[:, 0] % emb.shape[0]
+            return nxt, None
+
+        tok, _ = jax.lax.scan(embed_step, st["tok"], jnp.arange(REPEAT_CHEAP))
+        return tok
+
+    progs["embed"] = (jax.jit(embed_prog),
+                      {"tok": jnp.zeros((1,), jnp.int32), "emb": W["tok_emb"],
+                       "rc": W["rope_cos"], "rs": W["rope_sin"]}, 0,
+                      REPEAT_CHEAP)
     return progs
 
 
