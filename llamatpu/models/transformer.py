@@ -135,6 +135,16 @@ def _mm(lw, slw, li, key, x, impl):
 
 
 def _dense_ffn(cfg: ModelConfig, h, lw, impl, slw=None, li=None):
+    if (impl == "pallas" and slw is not None and li is not None
+            and "w13" in slw and "w2" in slw):
+        # q8_row decode: the whole FFN (w13 -> silu*up -> w2) runs as ONE
+        # pallas call so the weight stream never restarts its DMA pipeline
+        # mid-FFN (PERF.md: stream rate is set by grid steps per call)
+        from llamatpu.ops.ffn_fused import ffn_fused_rowq
+
+        y = ffn_fused_rowq(slw["w13"], slw["w2"], h, li)
+        if y is not None:
+            return y
     if "w13" in lw:  # fused gate+up (weights.fuse_layer_weights)
         g13 = _mm(lw, slw, li, "w13", h, impl)
         ff = g13.shape[-1] // 2

@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from llamatpu.models.weights import QTensor
@@ -214,3 +215,83 @@ def test_engine_rowq_forward_close_to_q8_0(tmp_path):
         outs[rowq] = np.asarray(logits)
     scale = np.std(outs[False]) + 1e-9
     assert np.max(np.abs(outs[True] - outs[False])) / scale < 0.2
+
+
+def test_ffn_fused_rowq_matches_two_call():
+    """FFN megakernel (one pallas call) == unfused rowq path (w13 -> silu ->
+    w2) within f32/bf16 rounding."""
+    from llamatpu.ops.ffn_fused import ffn_fused_rowq
+
+    d, f, L = 256, 512, 3
+    w13 = make_rowq(2 * f, d, seed=21, stacked=L)
+    w2 = make_rowq(d, f, seed=22, stacked=L)
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((1, 1, d)) * 0.1,
+                    jnp.float32)
+    for li in range(L):
+        y = ffn_fused_rowq(w13, w2, x, jnp.int32(li), interpret=True)
+        assert y is not None
+        w13l = QTensor(w13.qs[li], w13.scales[li], "q8_row")
+        w2l = QTensor(w2.qs[li], w2.scales[li], "q8_row")
+        g13 = x @ w13l.dequant(jnp.float32).T
+        gate, up = g13[..., :f], g13[..., f:]
+        act = jax.nn.silu(gate) * up
+        ref = act @ w2l.dequant(jnp.float32).T
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=2e-2, atol=2e-3)
+
+
+def test_ffn_fused_rowq_batched_and_fallbacks():
+    from llamatpu.ops.ffn_fused import ffn_fused_rowq, _MAX_T
+
+    d, f, L = 256, 512, 2
+    w13 = make_rowq(2 * f, d, seed=31, stacked=L)
+    w2 = make_rowq(d, f, seed=32, stacked=L)
+    x = jnp.asarray(np.random.default_rng(5).standard_normal((4, 1, d)) * 0.1,
+                    jnp.float32)
+    y = ffn_fused_rowq(w13, w2, x, jnp.int32(1), interpret=True)
+    assert y is not None and y.shape == (4, 1, d)
+    # too-wide T falls back (prefill path)
+    xw = jnp.zeros((_MAX_T + 1, 1, d), jnp.float32)
+    assert ffn_fused_rowq(w13, w2, xw, jnp.int32(0), interpret=True) is None
+    # non-rowq tensors fall back
+    from llamatpu.models.weights import prepare_qtensor
+
+    rng = np.random.default_rng(33)
+    q8 = prepare_qtensor(QTensor(
+        rng.integers(-127, 128, (L, 2 * f, d), dtype=np.int8),
+        rng.random((L, 2 * f, d // 32)).astype(np.float32) * 0.01, "q8_0"))
+    assert ffn_fused_rowq(q8, w2, x, jnp.int32(0), interpret=True) is None
+
+
+def test_engine_rowq_fused_forward_matches_unfused(tmp_path):
+    """Decode forward through the megakernel (T=1, stacked q8_row) matches
+    the same weights through the two-call rowq path."""
+    import tiny_models
+    from llamatpu.gguf import GGMLType
+    from llamatpu.models import loader as mloader
+    from llamatpu.models.weights import rowq_convert_weights, fuse_layer_weights
+    from llamatpu.models.transformer import forward_tokens, init_cache
+    from llamatpu.ops import ffn_fused
+
+    path = tmp_path / "mf.gguf"
+    tiny_models.build_tiny_gguf(path, family="llama", quant=GGMLType.Q8_0, seed=13)
+    model = mloader.load_model(str(path), mode="quant", param_dtype=jnp.float32,
+                               load_tokenizer=False)
+    w = rowq_convert_weights(fuse_layer_weights(model.cfg, model.weights))
+    toks = jnp.array([[3, 17, 42]], jnp.int32)
+    outs = {}
+    for fused in (True, False):
+        saved = ffn_fused._MAX_T
+        if not fused:
+            ffn_fused._MAX_T = 0  # force the two-call path
+        try:
+            cache = init_cache(model.cfg, 1, jnp.float32)
+            logits = None
+            for pos in range(3):
+                logits, cache = forward_tokens(
+                    model.cfg, w, toks[:, pos:pos + 1], cache, pos,
+                    impl="pallas", last_logit_only=True)
+            outs[fused] = np.asarray(logits)
+        finally:
+            ffn_fused._MAX_T = saved
+    np.testing.assert_allclose(outs[True], outs[False], rtol=5e-3, atol=5e-3)
