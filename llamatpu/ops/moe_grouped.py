@@ -182,9 +182,17 @@ def _gkernel_dense(te_ref, *rest, dot_dtype, mdim=0, stacked=False):
 
 
 def _pick_to(o: int, i: int, wbytes: float) -> int:
+    """Largest dividing out-tile whose double-buffered block fits VMEM.
+
+    Bigger blocks win: decode streams one expert's matrix per m-tile, and
+    0.13 MB blocks (the old smallest-first pick for O=1408, which 256/512
+    don't divide) ran the routed-expert stream at ~168 GB/s on chip vs
+    600-750 for 1.5-2 MB blocks (PERF.md). Whole-O is a candidate too —
+    Qwen1.5-MoE's 1408-row experts stream as single 1.4 MB blocks."""
     budget = 8 * 1024 * 1024
-    for to in (512, 256, 128):
-        if o % to == 0 and 2 * (to * int(i * wbytes) + to * 4 * (i // BLOCK)) <= budget:
+    for to in (o, 2048, 1024, 512, 256, 128):
+        if to <= o and o % to == 0 and \
+                2 * (to * int(i * wbytes) + to * 4 * (i // BLOCK)) <= budget:
             return to
     return o
 
