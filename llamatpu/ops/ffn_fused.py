@@ -38,6 +38,7 @@ from llamatpu.models.weights import QTensor
 
 _MAX_T = 32          # decode/small-batch only; prefill takes the int8 MXU path
 _BLOCK_BYTES = 2.4 * 1024 * 1024
+_VMEM_BUDGET = 12 * 1024 * 1024
 
 
 def _pick_to(o: int, i: int) -> int:
@@ -45,6 +46,19 @@ def _pick_to(o: int, i: int) -> int:
         if o % to == 0 and to * i <= _BLOCK_BYTES:
             return to
     return 0
+
+
+def _vmem_need(tp: int, d: int, f: int, o13: int, to13: int, to2: int,
+               xbytes: int, act_bytes: int) -> int:
+    """Total VMEM estimate: the f32 g13/act scratches coexist with BOTH
+    phases' double-buffered weight blocks (index maps clamp inactive phases
+    to a constant block, but the pipeline still allocates their buffers)."""
+    return (tp * d * xbytes                     # x block (constant index)
+            + tp * o13 * 4                      # g13 scratch (f32)
+            + tp * f * act_bytes                # act scratch (dot dtype)
+            + 2 * tp * to2 * 4                  # out blocks, double-buffered
+            + 2 * (to13 * d + to13 * 4)         # w13 + s13 blocks, 2x
+            + 2 * (to2 * f + to2 * 4))          # w2 + s2 blocks, 2x
 
 
 def _kernel(li_ref, x_ref, w13_ref, s13_ref, w2_ref, s2_ref, o_ref,
@@ -143,8 +157,15 @@ def ffn_fused_rowq(w13: QTensor, w2: QTensor, x, li, interpret=None):
         return None
     o13, d = w13.qs.shape[-2:]
     d2, f = w2.qs.shape[-2:]
-    if o13 != 2 * f or d2 != d or not _pick_to(o13, d) or not _pick_to(d2, f):
+    to13, to2 = _pick_to(o13, d), _pick_to(d2, f)
+    if o13 != 2 * f or d2 != d or not to13 or not to2:
         return None
+    tp = -(-t // 8) * 8
+    xbytes = 4 if x.dtype == jnp.float32 else 2
+    if _vmem_need(tp, d, f, o13, to13, to2, xbytes, xbytes) > _VMEM_BUDGET:
+        return None  # e.g. tp=32 at 8B geometry: scratches + both phases'
+                     # double-buffered blocks exceed VMEM (advisor r3); the
+                     # two-call path handles it
     y = _ffn_fused_2d(w13.qs, w13.scales, w2.qs, w2.scales,
                       x.reshape(t, d), li, interpret=interpret)
     return y.reshape(*lead, d2).astype(x.dtype)

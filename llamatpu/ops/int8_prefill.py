@@ -47,17 +47,35 @@ def quantize_activation_rows(x2: jnp.ndarray):
     return xi8, ax
 
 
+# int32 accumulator overflow bound: the per-element product is at most
+# 127*127 = 16129, so a full-contraction int32 sum is exact while
+# I <= (2^31 - 1) / 16129 ~= 133,152. Every supported geometry is far below
+# that (largest in-feature dim: 28,672); past the bound the contraction is
+# split into partial dots accumulated in f32.
+_INT8_ACC_MAX_I = 131_072
+
+
 def rowq_matmul_mxu(qs, row_scales, x2: jnp.ndarray) -> jnp.ndarray:
     """y[T, O] = x2[T, I] @ (qs[O, I] * row_scales[O, 1])^T on the int8 MXU.
 
     qs int8 canonical, row_scales f32. Returns f32.
     """
     xi8, ax = quantize_activation_rows(x2)
-    p = jax.lax.dot_general(
-        xi8, qs,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32)              # native int8 MXU
-    return p.astype(jnp.float32) * ax * row_scales[:, 0][None, :]
+    dn = (((1,), (1,)), ((), ()))
+    i = qs.shape[-1]
+    if i <= _INT8_ACC_MAX_I:
+        p = jax.lax.dot_general(
+            xi8, qs, dimension_numbers=dn,
+            preferred_element_type=jnp.int32).astype(jnp.float32)  # native int8 MXU
+    else:  # overflow-safe: int32 partials over <=_INT8_ACC_MAX_I chunks, f32 sum
+        n = -(-i // _INT8_ACC_MAX_I)
+        step = -(-i // n)
+        p = sum(
+            jax.lax.dot_general(
+                xi8[:, c:c + step], qs[:, c:c + step], dimension_numbers=dn,
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+            for c in range(0, i, step))
+    return p * ax * row_scales[:, 0][None, :]
 
 
 def rowq_matmul(w: QTensor, x2: jnp.ndarray, li=None) -> jnp.ndarray:

@@ -394,7 +394,8 @@ def quant_matmul_pallas(w: QTensor, x: jnp.ndarray, interpret: bool | None = Non
             # compute-bound regime: native int8 MXU dot, XLA-tiled
             y = rowq_matmul(w, x2, li=li)
         else:
-            tp, tt, to = _tiles(O, I, T, xbytes=2)
+            xbytes = 4 if x.dtype == jnp.float32 else 2
+            tp, tt, to = _tiles(O, I, T, xbytes)
             if not interpret and to == O and to * wI > _VMEM_BUDGET:
                 from llamatpu.ops.matmul import matmul
 

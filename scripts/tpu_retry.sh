@@ -13,6 +13,13 @@ for i in $(seq 1 "$tries"); do
   timeout "$per" "$@" && exit 0
   code=$?
   echo "=== attempt $i exited $code; retrying ===" >&2
-  sleep 20
+  if [ "$code" = 124 ] || [ "$code" = 137 ]; then
+    # timeout KILLED the client: the relay wedges the grant for ~5 min
+    # ("grant unclaimed past timeout", CLAUDE.md) — retrying sooner just burns
+    # the next attempt's budget blocked on the claim handshake
+    sleep 300
+  else
+    sleep 20
+  fi
 done
 exit 1
