@@ -35,9 +35,13 @@ def main() -> None:
     from llamatpu.runtime.engine import Engine
 
     pp, tg = 512, 128
+    # rowq=True: Q8_0 checkpoints serve as q8_row (per-row int8 — scale-free
+    # decode streams, int8-MXU prefill). Fidelity is CI-gated at 2% rel ppl
+    # by tests/test_parity_gate.py; PARITY.md carries the measured table.
     model = build_synthetic_model("llama32-1b", quant="q8_0", context_length=1024)
     engine = Engine(model, cache_len=1024, prefill_chunk=512, temperature=0.0,
-                    decode_window=128, impl="pallas", aot_compile=True)
+                    decode_window=128, impl="pallas", aot_compile=True,
+                    rowq=True)
 
     rng = np.random.default_rng(42)
     prompt = rng.integers(0, model.cfg.vocab_size, pp).tolist()
@@ -75,6 +79,7 @@ def main() -> None:
         "unit": "tok/s",
         "vs_baseline": round(decode_tok_s / BASELINE_TOK_S, 3),
         "extra": {"prefill_tok_s": round(prefill_tok_s, 1), "pp": pp, "tg": tg,
+                  "serving_format": "q8_row",
                   "compile_s": round(engine.metrics.compile_s, 1)},
     }))
 

@@ -185,7 +185,8 @@ def run_bench(args) -> None:
 
     engine = Engine(model, cache_len=cache_len, impl=args.impl,
                     prefill_chunk=args.prefill_chunk, temperature=0.0,
-                    cache_dtype=_cache_dtype(args))
+                    cache_dtype=_cache_dtype(args),
+                    rowq=getattr(args, "rowq", False))
     results = []
     for d in args.depth:
         for p in args.pp:
@@ -200,7 +201,8 @@ def run_bench(args) -> None:
 
         be = BatchEngine(model, batch_size=args.batch, cache_len=cache_len,
                          impl=args.impl, prefill_chunk=args.prefill_chunk,
-                         cache_dtype=_cache_dtype(args))
+                         cache_dtype=_cache_dtype(args),
+                         rowq=getattr(args, "rowq", False))
         for t in args.tg:
             results.append(bench_tg_batch(be, t, max(args.depth), args.reps))
     name = model.metadata.get("general.name", "unknown")

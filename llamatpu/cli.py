@@ -46,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--seed", type=int, default=42)
         sp.add_argument("--metrics-format", choices=["human", "json", "github", "none"],
                         default="human")
+        sp.add_argument("--metrics-file", default=None,
+                        help="append run metrics as one JSON line to this "
+                             "file (reference: llama.metrics.file)")
         sp.add_argument("--tp", type=int, default=0,
                         help="tensor-parallel degree (0 = single device)")
         sp.add_argument("--dp", type=int, default=1, help="data-parallel degree")
@@ -221,6 +224,8 @@ def cmd_run(args) -> int:
                               echo=args.echo, enable_thinking=not args.no_thinking)
     if args.metrics_format != "none":
         metrics.render(args.metrics_format)
+    if getattr(args, "metrics_file", None):
+        metrics.write_file(args.metrics_file)
     return 0
 
 

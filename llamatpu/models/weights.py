@@ -25,7 +25,7 @@ import numpy as np
 BLOCK = 32  # ggml Q8_0/Q4_0 block size
 
 
-@partial(jax.tree_util.register_dataclass, data_fields=["qs", "scales"],
+@partial(jax.tree_util.register_dataclass, data_fields=["qs", "scales", "offs"],
          meta_fields=["kind", "logical_out", "layout"])
 @dataclass
 class QTensor:
@@ -40,6 +40,10 @@ class QTensor:
                         # qs CANONICAL) — the TPU serving format for the int8
                         # MXU prefill path + scale-free decode streaming; see
                         # rowq_requant below.
+                        # | "q4_k": NATIVE K-quant (gguf/quants.q4_k_views) —
+                        # Q4_0-shaped values/scales plus per-32 additive `offs`
+                        # (w = qs*scale + off); the offset matmul term rides an
+                        # XLA epilogue dot, so all Q4_0 kernels serve it.
     logical_out: int = 0  # real out-features when rows were padded to a lane
                           # multiple (e.g. Phi-3's 32064-row vocab head); 0 = full
     layout: str = "canonical"  # "canonical" | "interleaved" | "packed4"
@@ -49,12 +53,16 @@ class QTensor:
                                # in-VMEM matmul (~30% decode win); activations
                                # are permuted to match per call.
                                # packed4 = interleaved + two 4-bit values per
-                               # byte (Q4_0 only): byte c of row o holds
+                               # byte (Q4_0/Q4_K): byte c of row o holds
                                # interleaved columns c (low nibble) and
                                # c + in//2 (high nibble) — qs is [..., out, in//2].
                                # Halves the HBM footprint; decode speed is
                                # unchanged (the chip is value-rate-bound, see
                                # scripts/stream_diag.py 2026-08-18).
+    offs: jax.Array | None = None  # f32 [..., out, in // 32] per-32 ADDITIVE
+                                   # offsets (q4_k only): w = qs*scale + off;
+                                   # always canonical-block-ordered (the
+                                   # offset term never enters the kernels)
 
     @property
     def shape(self):
@@ -71,7 +79,10 @@ class QTensor:
         elif self.layout == "interleaved":
             qs = deinterleave_columns(qs)
         s = jnp.repeat(self.scales.astype(dtype), BLOCK, axis=-1)
-        return qs.astype(dtype) * s
+        w = qs.astype(dtype) * s
+        if self.offs is not None:
+            w = w + jnp.repeat(self.offs.astype(dtype), BLOCK, axis=-1)
+        return w
 
     def canonical_qs(self) -> jax.Array:
         if self.layout == "packed4":
@@ -161,6 +172,20 @@ def quantize_array_q4_0(arr: np.ndarray) -> QTensor:
     return qtensor_from_gguf(GGMLType.Q4_0, raw, tuple(arr.shape))
 
 
+def quantize_array_q4_k(arr: np.ndarray) -> QTensor:
+    """Quantize a float array (numpy) to a NATIVE Q4_K QTensor (ggml-order
+    superblock encode -> kernel layout with per-32 scales + additive offs)."""
+    from llamatpu.gguf import quants
+
+    raw = quants.quantize_q4_k(np.asarray(arr, dtype=np.float32).reshape(-1))
+    qs, scales, offs = quants.q4_k_views(raw, arr.size)
+    shape = tuple(arr.shape)
+    return QTensor(np.ascontiguousarray(qs).reshape(*shape[:-1], shape[-1]),
+                   np.ascontiguousarray(scales).reshape(*shape[:-1], shape[-1] // BLOCK),
+                   "q4_k", offs=np.ascontiguousarray(offs).reshape(
+                       *shape[:-1], shape[-1] // BLOCK))
+
+
 def pad_qtensor_rows(w: QTensor, multiple: int = 128) -> QTensor:
     """Zero-pad the out-features axis to a lane multiple so the Pallas matmul
     can tile it; consumers slice y[..., :logical_out] (ops/matmul.py)."""
@@ -171,7 +196,8 @@ def pad_qtensor_rows(w: QTensor, multiple: int = 128) -> QTensor:
     widths = [(0, 0)] * (w.qs.ndim - 2) + [(0, pad), (0, 0)]
     qs = np.pad(np.asarray(w.qs), widths)
     scales = np.pad(np.asarray(w.scales), widths)
-    return QTensor(qs, scales, w.kind, logical_out=o, layout=w.layout)
+    offs = None if w.offs is None else np.pad(np.asarray(w.offs), widths)
+    return QTensor(qs, scales, w.kind, logical_out=o, layout=w.layout, offs=offs)
 
 
 def prepare_qtensor(w: QTensor, pack4: bool = False) -> QTensor:
@@ -188,10 +214,13 @@ def prepare_qtensor(w: QTensor, pack4: bool = False) -> QTensor:
     if w.layout != "canonical":
         return w
     qs = interleave_columns(np.asarray(w.qs))
-    if pack4 and w.kind == "q4_0":
+    # offs stay canonical-block-ordered: the offset term never enters the
+    # kernel (xbsum epilogue dot, ops/pallas_matmul.py)
+    if pack4 and w.kind in ("q4_0", "q4_k"):
         return QTensor(pack4_columns(qs), w.scales, w.kind, w.logical_out,
-                       layout="packed4")
-    return QTensor(qs, w.scales, w.kind, w.logical_out, layout="interleaved")
+                       layout="packed4", offs=w.offs)
+    return QTensor(qs, w.scales, w.kind, w.logical_out, layout="interleaved",
+                   offs=w.offs)
 
 
 def rowq_requant(w: QTensor) -> QTensor:
@@ -216,6 +245,7 @@ def rowq_requant(w: QTensor) -> QTensor:
     dequant working set (an 8B w13 stack is ~15 GB at once). Numpy, load-time.
     """
     assert w.kind == "q8_0", f"rowq_requant: want q8_0, got {w.kind}"
+    assert w.offs is None
     qs = np.asarray(w.qs)
     scales = np.asarray(w.scales)
     if w.layout == "interleaved":
@@ -239,37 +269,57 @@ def rowq_requant(w: QTensor) -> QTensor:
                    kind="q8_row", logical_out=w.logical_out, layout="canonical")
 
 
-def rowq_convert_weights(weights: dict) -> dict:
+def rowq_convert_weights(weights: dict, experts: bool = True) -> dict:
     """Convert every dense-path Q8_0 QTensor in a (fused) weights pytree to
-    q8_row. MoE routed-expert stacks keep Q8_0 (the grouped expert kernel has
-    its own layout); everything else — attention/FFN/shared-expert/vocab-head
-    — switches to the row-scale serving format."""
-    skip = {"gate_exps", "up_exps", "down_exps"}
+    q8_row — attention/FFN/shared-expert/vocab-head switch to the row-scale
+    serving format. With experts=True (default) the MoE routed-expert stacks
+    convert too (the grouped kernels have a rowq variant, ops/moe_grouped.py:
+    scale-free expert streams, per-row scale folded into the output)."""
+    skip = set() if experts else {"gate_exps", "up_exps", "down_exps"}
+    converted = 0
     layers = {}
     for k, v in weights["layers"].items():
         if k not in skip and isinstance(v, QTensor) and v.kind == "q8_0":
             v = rowq_requant(v)
+            converted += 1
         layers[k] = v
     out = dict(weights)
     out["layers"] = layers
     if isinstance(out.get("wcls"), QTensor) and out["wcls"].kind == "q8_0":
         out["wcls"] = rowq_requant(out["wcls"])
+        converted += 1
+    if not converted:
+        # --rowq on a non-Q8_0 checkpoint would otherwise silently no-op
+        # (rowq only requantizes q8_0 tensors); make the mismatch loud
+        import warnings
+
+        warnings.warn(
+            "--rowq had no effect: no Q8_0 tensors in the checkpoint "
+            "(q8_row is a Q8_0 requant format; convert the model to Q8_0 "
+            "first or drop --rowq)", stacklevel=2)
     return out
 
 
 def stack_qtensors(ts: list[QTensor]) -> QTensor:
-    return QTensor(jnp.stack([t.qs for t in ts]), jnp.stack([t.scales for t in ts]), ts[0].kind)
+    offs = (jnp.stack([t.offs for t in ts])
+            if ts[0].offs is not None else None)
+    return QTensor(jnp.stack([t.qs for t in ts]),
+                   jnp.stack([t.scales for t in ts]), ts[0].kind, offs=offs)
 
 
 def _concat_rows(ts: list[QTensor]) -> QTensor:
     qs = np.concatenate([np.asarray(t.qs) for t in ts], axis=-2)
     scales = np.concatenate([np.asarray(t.scales) for t in ts], axis=-2)
-    return QTensor(qs, scales, ts[0].kind, logical_out=0, layout=ts[0].layout)
+    offs = (np.concatenate([np.asarray(t.offs) for t in ts], axis=-2)
+            if ts[0].offs is not None else None)
+    return QTensor(qs, scales, ts[0].kind, logical_out=0, layout=ts[0].layout,
+                   offs=offs)
 
 
 def _fusable(ts: list[QTensor]) -> bool:
     return (all(isinstance(t, QTensor) for t in ts)
             and len({t.kind for t in ts}) == 1
+            and len({t.offs is None for t in ts}) == 1
             and len({t.layout for t in ts}) == 1
             and all(not t.logical_out for t in ts)
             and len({t.qs.shape[-1] for t in ts}) == 1)
@@ -303,6 +353,30 @@ def fuse_layer_weights(cfg, weights: dict) -> dict:
     out = dict(weights)
     out["layers"] = layers
     return out
+
+
+def serving_weights(cfg, weights: dict, mesh=None, ep: bool = False,
+                    rowq: bool = False, rowq_experts: bool | None = None):
+    """Load-time weight prep shared by Engine/BatchEngine/PagedBatchEngine:
+    fuse per-layer projections (unsharded only — tensor-parallel layouts shard
+    q/k/v per head and keep the unfused names), optionally requantize Q8_0 to
+    the q8_row serving format, then device_put with the mesh shardings.
+    rowq_experts: also convert MoE routed-expert stacks (default: follow
+    `rowq` — the grouped kernels have a rowq variant, ops/moe_grouped.py)."""
+    import jax as _jax
+
+    if mesh is not None:
+        from llamatpu.parallel import shard_model
+
+        if rowq:
+            weights = rowq_convert_weights(
+                weights, experts=rowq if rowq_experts is None else rowq_experts)
+        return shard_model(weights, cfg, mesh, ep=ep)
+    w = fuse_layer_weights(cfg, weights)
+    if rowq:
+        w = rowq_convert_weights(
+            w, experts=rowq if rowq_experts is None else rowq_experts)
+    return _jax.device_put(w)
 
 
 def stack_weights(ws: list) -> object:

@@ -160,6 +160,32 @@ def _gkernel_packed4(te_ref, *rest, dot_dtype, mdim=0, stacked=False):
         o_ref[:] = jnp.zeros_like(o_ref)
 
 
+def _gkernel_rowq(te_ref, *rest, dot_dtype, mdim=0, stacked=False):
+    """q8_row expert blocks: cast-and-dot, per-row scale folded into the
+    output tile in-kernel (scales are [E, O, 1] — one lane per row, a
+    negligible stream next to the scale-free int8 weight blocks)."""
+    if stacked:
+        li_ref, x_ref, w_ref, s_ref, o_ref = rest
+    else:
+        x_ref, w_ref, s_ref, o_ref = rest
+    mi = pl.program_id(mdim)
+    active = te_ref[mi] >= 0
+
+    @pl.when(active)
+    def _():
+        w = w_ref[0, 0] if stacked else w_ref[0]      # [TO, I] int8
+        s = (s_ref[0, 0] if stacked else s_ref[0]).astype(jnp.float32)  # [TO, 1]
+        y = jax.lax.dot_general(
+            x_ref[:].astype(dot_dtype), w.astype(dot_dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[:] = y * s[:, 0][None, :]
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+
 def _gkernel_dense(te_ref, *rest, dot_dtype, mdim=0, stacked=False):
     if stacked:
         li_ref, x_ref, w_ref, o_ref = rest
@@ -229,10 +255,12 @@ def _specs(tm, to, m_fastest, stacked=False):
     return (lambda mp_t, o_t: (mp_t, o_t)), xmap, wmap, omap, 0
 
 
-@functools.partial(jax.jit, static_argnames=("tm", "interpret", "layout", "m_fastest"))
+@functools.partial(jax.jit, static_argnames=("tm", "interpret", "layout",
+                                             "m_fastest", "kind"))
 def _grouped_matmul_q(qs, scales, x_sorted, tile_expert, tm, interpret, layout,
-                      m_fastest=False, li=None):
+                      m_fastest=False, li=None, kind="q8_0"):
     packed = layout == "packed4"
+    rowq = kind == "q8_row"
     stacked = li is not None
     e, o, wi = qs.shape[-3:]
     i = wi * 2 if packed else wi
@@ -242,9 +270,23 @@ def _grouped_matmul_q(qs, scales, x_sorted, tile_expert, tm, interpret, layout,
     grid_of, xmap, wmap, omap, mdim = _specs(tm, to, m_fastest, stacked)
     wb = (1, 1) if stacked else (1,)
     w_specs = [pl.BlockSpec(wb + (to, wi), wmap),
-               pl.BlockSpec(wb + (to, i // BLOCK), wmap)]
+               pl.BlockSpec(wb + (to, 1 if rowq else i // BLOCK), wmap)]
     npf = 2 if stacked else 1
     pref = (tile_expert,) + ((jnp.asarray(li, jnp.int32).reshape(1),) if stacked else ())
+    if rowq:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=npf,
+            grid=grid_of(mp // tm, o // to),
+            in_specs=[pl.BlockSpec((tm, i), xmap), *w_specs],
+            out_specs=pl.BlockSpec((tm, to), omap),
+        )
+        return pl.pallas_call(
+            functools.partial(_gkernel_rowq, dot_dtype=dot_dtype, mdim=mdim,
+                              stacked=stacked),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((mp, o), jnp.float32),
+            interpret=interpret,
+        )(*pref, x_sorted, qs, scales)
     if packed:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=npf,
@@ -325,8 +367,19 @@ def grouped_matmul(w, x_sorted, tile_expert, tm: int, interpret: bool | None = N
             from llamatpu.models.weights import interleave_activation
 
             x = interleave_activation(x_sorted)
-        return _grouped_matmul_q(w.qs, w.scales, x, tile_expert, tm, interpret,
-                                 w.layout, m_fastest, li=li)
+        y = _grouped_matmul_q(w.qs, w.scales, x, tile_expert, tm, interpret,
+                              w.layout, m_fastest, li=li, kind=w.kind)
+        if w.offs is not None:
+            # q4_k experts: the per-32 additive offset term is itself a
+            # grouped matmul — xbsum [Mp, I/32] (CANONICAL block sums of the
+            # pre-interleave activation) against offs [.., E, O, I/32] through
+            # the SAME tile->expert maps (dense kernel; tiny stream)
+            mp, i_can = x_sorted.shape
+            xbsum = x_sorted.astype(jnp.float32).reshape(
+                mp, i_can // BLOCK, BLOCK).sum(axis=-1)
+            y = y + _grouped_matmul_dense(w.offs, xbsum, tile_expert, tm,
+                                          interpret, m_fastest, li=li)
+        return y
     return _grouped_matmul_dense(w, x_sorted, tile_expert, tm, interpret,
                                  m_fastest, li=li)
 

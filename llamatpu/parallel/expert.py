@@ -35,8 +35,9 @@ from llamatpu.ops.moe_grouped import grouped_ffn, sort_by_expert
 
 def _expert_leaf_spec(leaf):
     if isinstance(leaf, QTensor):
-        return QTensor(P("tp", None, None), P("tp", None, None),
-                       leaf.kind, leaf.logical_out, leaf.layout)
+        sp = P("tp", None, None)
+        return QTensor(sp, sp, leaf.kind, leaf.logical_out, leaf.layout,
+                       offs=None if leaf.offs is None else sp)
     return P("tp", None, None)
 
 

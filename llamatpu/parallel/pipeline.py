@@ -79,7 +79,12 @@ def pp_layer_specs(layers: dict, tp: int = 1):
         else:
             s = P("pp")
         if isinstance(leaf, QTensor):
-            return QTensor(s, s, leaf.kind, leaf.logical_out, leaf.layout)
+            from llamatpu.parallel.shard import qtensor_specs
+
+            pair = qtensor_specs(s, leaf, tp) or (P("pp"), P("pp"))
+            return QTensor(pair[0], pair[1], leaf.kind, leaf.logical_out,
+                           leaf.layout,
+                           offs=None if leaf.offs is None else pair[1])
         return s
 
     return {name: spec_for(name, leaf) for name, leaf in layers.items()}

@@ -26,6 +26,36 @@ from llamatpu.models.config import ModelConfig
 from llamatpu.models.weights import QTensor
 
 
+def qtensor_specs(spec: P, leaf: QTensor, tp: int) -> tuple[P, P] | None:
+    """(qs_spec, scales_spec) for a QTensor under `spec`, or None when the
+    tensor must stay replicated (a sharded dim that doesn't divide).
+
+    q8_row scales are [..., out, 1]: they follow an OUT-axis shard but stay
+    replicated under an in-features (row-parallel) shard — the per-row scale
+    multiplies the OUTPUT, which is linear over the partial-sum psum, so
+    replicating it is exact. Block-scale tensors ([..., out, in/32]) share the
+    qs spec (32 | in-shard whenever tp | in)."""
+    def size(axis_name):  # mesh axis size ("pp" always divides L by assert)
+        return tp if axis_name == "tp" else 1
+
+    sc_axes = []
+    for ax, a in enumerate(spec):
+        if a is None:
+            sc_axes.append(None)
+            continue
+        if size(a) > 1 and leaf.qs.shape[ax] % size(a):
+            return None
+        if leaf.scales.shape[ax] == 1 and size(a) > 1:
+            if leaf.kind != "q8_row" or ax != leaf.qs.ndim - 1:
+                return None  # unexpected: only q8_row's in-axis is size-1
+            sc_axes.append(None)  # in-features shard: scales replicated
+        else:
+            if size(a) > 1 and leaf.scales.shape[ax] % size(a):
+                return None
+            sc_axes.append(a)
+    return spec, P(*sc_axes)
+
+
 def _spec_for(name: str, ndim_extra: int = 0, ep: bool = False) -> P:
     """PartitionSpec for a stacked [L, out, in] (or [L, E, out, in]) weight.
     With ep=True, routed-expert tensors shard the EXPERT axis over "tp"
@@ -64,7 +94,8 @@ def weight_shardings(cfg: ModelConfig, mesh: Mesh, weights: dict,
         # each stage (manual collectives in forward_tokens_pp)
         layers = {
             name: (QTensor(ns(spec.qs), ns(spec.scales), spec.kind,
-                           spec.logical_out, spec.layout)
+                           spec.logical_out, spec.layout,
+                           offs=None if spec.offs is None else ns(spec.offs))
                    if isinstance(spec, QTensor) else ns(spec))
             for name, spec in pp_layer_specs(weights["layers"], tp).items()
         }
@@ -73,41 +104,44 @@ def weight_shardings(cfg: ModelConfig, mesh: Mesh, weights: dict,
         wcls_s = ns(P("tp", None)) if tp > 1 else rep
         return {
             "tok_emb": rep, "final_norm": rep,
-            "wcls": (QTensor(wcls_s, wcls_s, wcls.kind, wcls.logical_out, wcls.layout)
+            "wcls": (QTensor(wcls_s, wcls_s, wcls.kind, wcls.logical_out,
+                             wcls.layout,
+                             offs=None if wcls.offs is None else wcls_s)
                      if isinstance(wcls, QTensor) else wcls_s),
             "rope_cos": rep, "rope_sin": rep,
             "layers": layers,
         }
 
+    def qt(leaf, spec):
+        """NamedSharding pair for a QTensor, falling back to replicated when a
+        sharded dim doesn't divide on qs or scales (production dims do; tiny
+        test geometries may not)."""
+        pair = qtensor_specs(spec, leaf, tp)
+        if pair is None:
+            pair = (P(), P())
+        return QTensor(ns(pair[0]), ns(pair[1]), leaf.kind, leaf.logical_out,
+                       leaf.layout,
+                       offs=None if leaf.offs is None else ns(pair[1]))
+
     def layer_spec(name, leaf):
         extra = 1 if name.endswith("_exps") else 0
         if name in ("q_bias", "k_bias", "v_bias"):
             return ns(P(None, "tp"))
-        if isinstance(leaf, QTensor) or getattr(leaf, "ndim", 0) >= 3 + extra:
-            spec = _spec_for(name, extra, ep)
-            if isinstance(leaf, QTensor) and "tp" in spec:
-                # a QTensor's scales array has in/32 lanes: every sharded dim
-                # must divide on BOTH qs and scales (production dims do; tiny
-                # test geometries may not) — otherwise replicate the tensor
-                ax = spec.index("tp")
-                if leaf.qs.shape[ax] % tp or leaf.scales.shape[ax] % tp:
-                    return ns(P())
-            return ns(spec)
+        if isinstance(leaf, QTensor):
+            return qt(leaf, _spec_for(name, extra, ep))
+        if getattr(leaf, "ndim", 0) >= 3 + extra:
+            return ns(_spec_for(name, extra, ep))
         return ns(P())
 
-    layers = {}
-    for name, leaf in weights["layers"].items():
-        s = layer_spec(name, leaf)
-        layers[name] = (QTensor(s, s, leaf.kind, leaf.logical_out, leaf.layout)
-                        if isinstance(leaf, QTensor) else s)
+    layers = {name: layer_spec(name, leaf)
+              for name, leaf in weights["layers"].items()}
 
     wcls = weights["wcls"]
-    wcls_s = ns(P("tp", None))
     return {
         "tok_emb": ns(P()),
         "final_norm": ns(P()),
-        "wcls": (QTensor(wcls_s, wcls_s, wcls.kind, wcls.logical_out, wcls.layout)
-                 if isinstance(wcls, QTensor) else wcls_s),
+        "wcls": (qt(wcls, P("tp", None)) if isinstance(wcls, QTensor)
+                 else ns(P("tp", None))),
         "rope_cos": ns(P()),
         "rope_sin": ns(P()),
         "layers": layers,

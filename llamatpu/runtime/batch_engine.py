@@ -53,6 +53,7 @@ class BatchEngine:
         metrics: RunMetrics | None = None,
         mesh=None,
         ep: bool = False,
+        rowq: bool = False,
     ):
         self.model = model
         self.cfg = model.cfg
@@ -140,16 +141,10 @@ class BatchEngine:
         self._decode_n = jax.jit(decode_n_fn, donate_argnums=(2, 5))
 
         with Timer() as t:
-            if mesh is not None:
-                from llamatpu.parallel import shard_model
+            from llamatpu.models.weights import serving_weights
 
-                self.weights = shard_model(model.weights, cfg, mesh, ep=self.ep)
-            else:
-                from llamatpu.models.weights import fuse_layer_weights
-
-                # unsharded: fuse qkv / gate+up into single wider matmuls
-                # (bit-exact row concat; fewer+bigger weight streams)
-                self.weights = jax.device_put(fuse_layer_weights(self.cfg, model.weights))
+            self.weights = serving_weights(cfg, model.weights, mesh=mesh,
+                                           ep=self.ep, rowq=rowq)
             jax.block_until_ready(jax.tree.leaves(self.weights))
         self.metrics.weight_upload_s = t.elapsed
         self.cache = self._new_cache()

@@ -96,33 +96,21 @@ class Engine:
         # (f32/XLA, tested); under bf16 TPU kernels the T=1+K tiling can flip
         # argmax near-ties, the standard speculative-decoding caveat. Sampled
         # requests transparently use the normal path.
-        assert not (rowq and mesh is not None), \
-            "rowq serving format is single-chip for now (sharding specs assume block scales)"
         self.spec_k = max(0, int(spec_decode))
         assert self.spec_k == 0 or batch_size == 1, \
             "speculative decoding is single-sequence"
         self._ids = None  # [B, physical_len] device token-id history (spec)
 
         with Timer() as t:
-            if mesh is not None:
-                from llamatpu.parallel import shard_model
+            # fuse qkv / gate+up (unsharded), optional q8_row requant
+            # (per-row int8 serving format: scale-free decode streams + int8
+            # MXU prefill; fidelity gated by bench/parity.py `q8_row` rows),
+            # then device_put with mesh shardings (parallel/shard.py handles
+            # q8_row's [.., O, 1] scale layout)
+            from llamatpu.models.weights import serving_weights
 
-                self.weights = shard_model(model.weights, self.cfg, mesh,
-                                           ep=self.ep)
-            else:
-                from llamatpu.models.weights import fuse_layer_weights
-
-                # unsharded: fuse qkv / gate+up into single wider matmuls
-                # (bit-exact row concat; fewer+bigger weight streams)
-                w = fuse_layer_weights(self.cfg, model.weights)
-                if rowq:
-                    # per-row int8 serving format: scale-free decode streams
-                    # + int8 MXU prefill (models/weights.py rowq_requant;
-                    # fidelity gated by bench/parity.py `q8_row` rows)
-                    from llamatpu.models.weights import rowq_convert_weights
-
-                    w = rowq_convert_weights(w)
-                self.weights = jax.device_put(w)
+            self.weights = serving_weights(self.cfg, model.weights, mesh=mesh,
+                                           ep=self.ep, rowq=rowq)
             jax.block_until_ready(jax.tree.leaves(self.weights))
         self.metrics.weight_upload_s = t.elapsed
 

@@ -244,6 +244,7 @@ def serve(args) -> None:
                  if args.max_tokens else None)
     mesh = _mesh(args)
     ep = getattr(args, "ep", False)
+    rowq = getattr(args, "rowq", False)
     if getattr(args, "batch_size", 1) > 1:
         from llamatpu.server.service import BatchedInferenceService
 
@@ -255,21 +256,22 @@ def serve(args) -> None:
                 prefill_chunk=args.prefill_chunk, max_len=cache_len,
                 n_blocks=getattr(args, "kv_blocks", 0) or None,
                 block_size=getattr(args, "kv_block_size", 16),
-                cache_dtype=_cache_dtype(args), mesh=mesh, ep=ep,
+                cache_dtype=_cache_dtype(args), mesh=mesh, ep=ep, rowq=rowq,
                 prefix_cache=not getattr(args, "no_prefix_cache", False))
         else:
             from llamatpu.runtime.batch_engine import BatchEngine
 
             bengine = BatchEngine(model, batch_size=args.batch_size, impl=args.impl,
                                   prefill_chunk=args.prefill_chunk, cache_len=cache_len,
-                                  cache_dtype=_cache_dtype(args), mesh=mesh, ep=ep)
+                                  cache_dtype=_cache_dtype(args), mesh=mesh,
+                                  ep=ep, rowq=rowq)
         service = BatchedInferenceService(
             model, bengine,
             interleave_decode_steps=getattr(args, "interleave_decode_steps", 4))
     else:
         engine = Engine(model, impl=args.impl, prefill_chunk=args.prefill_chunk,
                         cache_len=cache_len, cache_dtype=_cache_dtype(args),
-                        mesh=mesh, ep=ep,
+                        mesh=mesh, ep=ep, rowq=rowq,
                         spec_decode=getattr(args, "spec_decode", 0))
         service = InferenceService(model, engine,
                                    prefix_cache=not getattr(args, "no_prefix_cache", False))

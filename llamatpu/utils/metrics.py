@@ -49,6 +49,12 @@ class RunMetrics:
             **self.extra,
         }
 
+    def write_file(self, path: str) -> None:
+        """JSON metrics sink (reference: llama.metrics.file sysprop,
+        RunMetrics.java:127-139) — one JSON object per run, appended."""
+        with open(path, "a", encoding="utf-8") as f:
+            f.write(json.dumps(self.to_dict()) + "\n")
+
     def render(self, fmt: str = "human", stream=None) -> None:
         stream = stream or sys.stderr
         d = self.to_dict()

@@ -28,7 +28,10 @@ def main() -> int:
     batches = tuple(int(b) for b in sys.argv[3].split(",")) if len(sys.argv) > 3 \
         else (8, 16, 32)
     pack4 = quant.endswith("p")
-    model = build_synthetic_model(preset, quant=quant.rstrip("p"),
+    rowq = quant.rstrip("p").endswith("r")  # e.g. q8_0r: rowq serving format
+    base = quant.rstrip("p").rstrip("r").rstrip("_") if rowq else quant.rstrip("p")
+    base = "q8_0" if rowq else base
+    model = build_synthetic_model(preset, quant=base,
                                   context_length=2048, pack4=pack4)
     impl = "pallas"
     for B in batches:
@@ -36,10 +39,10 @@ def main() -> int:
             if paged:
                 eng = PagedBatchEngine(model, batch_size=B, block_size=32,
                                        max_len=2048, impl=impl, decode_window=8,
-                                       prefill_chunk=256)
+                                       prefill_chunk=256, rowq=rowq)
             else:
                 eng = BatchEngine(model, batch_size=B, cache_len=2048, impl=impl,
-                                  decode_window=8, prefill_chunk=256)
+                                  decode_window=8, prefill_chunk=256, rowq=rowq)
             row = run_latency_bench(eng, n_requests=2 * B, prompt_len=128,
                                     max_new=64, adversary_prompt_len=1024)
             row = {"bench": "serving-latency", "model": preset, "quant": quant,
