@@ -158,7 +158,8 @@ def _dense_ffn(cfg: ModelConfig, h, lw, impl, slw=None, li=None):
 
 def _index_qtensor(w, i):
     if isinstance(w, QTensor):
-        return QTensor(w.qs[i], w.scales[i], w.kind, w.logical_out, w.layout)
+        return QTensor(w.qs[i], w.scales[i], w.kind, w.logical_out, w.layout,
+                       offs=None if w.offs is None else w.offs[i])
     return w[i]
 
 
@@ -330,14 +331,26 @@ def make_layer_fn(cfg: ModelConfig, impl, b, t, pos_vec, cos, sin, *,
             x, kc, vc = carry
             ksc = vsc = None
         ks_view = vs_view = None  # dense [B, KV, 1, S] scale views (int8 mode)
-        h = rmsnorm(x, lw["attn_norm"], cfg.rms_norm_eps)
-        if "wqkv" in lw:  # fused q+k+v (weights.fuse_layer_weights)
+        qkv_out = None
+        if (impl == "pallas" and slw is not None and li is not None
+                and "wqkv" in lw and isinstance(slw.get("wqkv"), QTensor)
+                and slw["wqkv"].kind == "q8_row"):
+            # q8_row decode: rmsnorm fused into the wqkv kernel's first grid
+            # step (one fewer fusion boundary before the weight stream starts)
+            from llamatpu.ops.layer_fused import qkv_norm_fused_rowq
+
+            qkv_out = qkv_norm_fused_rowq(slw["wqkv"], slw["attn_norm"], x,
+                                          li, cfg.rms_norm_eps)
+        if qkv_out is None and "wqkv" in lw:
+            h = rmsnorm(x, lw["attn_norm"], cfg.rms_norm_eps)
             qkv_out = _mm(lw, slw, li, "wqkv", h, impl)
+        if qkv_out is not None:  # fused q+k+v (weights.fuse_layer_weights)
             qd, kd = cfg.n_heads * cfg.head_dim, kv * cfg.head_dim
             q = qkv_out[..., :qd]
             k = qkv_out[..., qd:qd + kd]
             v = qkv_out[..., qd + kd:]
         else:
+            h = rmsnorm(x, lw["attn_norm"], cfg.rms_norm_eps)
             q = _mm(lw, slw, li, "wq", h, impl)
             k = _mm(lw, slw, li, "wk", h, impl)
             v = _mm(lw, slw, li, "wv", h, impl)
@@ -456,20 +469,36 @@ def make_layer_fn(cfg: ModelConfig, impl, b, t, pos_vec, cos, sin, *,
                 kd, vd = kd[:, :, :lim], vd[:, :, :lim]
             attn = _attention(cfg, q.reshape(b, t, kv, g, cfg.head_dim), kd, vd, pos_vec, t)
         attn = attn.reshape(b, t, kv * g * cfg.v_head_dim).astype(x.dtype)
-        attn_out = _tp_sum(_mm(lw, slw, li, "wo", attn, impl))
-        if cfg.residual_scale != 1.0:
-            attn_out = (attn_out.astype(jnp.float32) * cfg.residual_scale).astype(x.dtype)
-        x = x + attn_out
+        new_x = None
+        if (impl == "pallas" and slw is not None and li is not None
+                and not cfg.is_moe and tp_axis is None
+                and "w13" in lw and "wo" in lw):
+            # q8_row decode: the layer's whole post-attention weight set
+            # (wo -> residual -> rmsnorm -> w13 -> silu -> w2 -> residual)
+            # runs as ONE pallas call / one continuous DMA pipeline
+            # (ops/layer_fused.py; PERF.md megakernel plan)
+            from llamatpu.ops.layer_fused import layer_tail_fused_rowq
 
-        h2 = rmsnorm(x, lw["ffn_norm"], cfg.rms_norm_eps)
-        if cfg.is_moe:
-            assert tp_axis is None, "tp inside a pipeline stage is dense-only"
-            ffn = _moe_ffn(cfg, h2, lw, impl, ep_mesh, slw, li)
+            new_x = layer_tail_fused_rowq(
+                slw["wo"], slw["w13"], slw["w2"], slw["ffn_norm"], attn, x,
+                li, cfg.rms_norm_eps, cfg.residual_scale)
+        if new_x is not None:
+            x = new_x
         else:
-            ffn = _tp_sum(_dense_ffn(cfg, h2, lw, impl, slw, li))
-        if cfg.residual_scale != 1.0:
-            ffn = (ffn.astype(jnp.float32) * cfg.residual_scale).astype(x.dtype)
-        x = x + ffn
+            attn_out = _tp_sum(_mm(lw, slw, li, "wo", attn, impl))
+            if cfg.residual_scale != 1.0:
+                attn_out = (attn_out.astype(jnp.float32) * cfg.residual_scale).astype(x.dtype)
+            x = x + attn_out
+
+            h2 = rmsnorm(x, lw["ffn_norm"], cfg.rms_norm_eps)
+            if cfg.is_moe:
+                assert tp_axis is None, "tp inside a pipeline stage is dense-only"
+                ffn = _moe_ffn(cfg, h2, lw, impl, ep_mesh, slw, li)
+            else:
+                ffn = _tp_sum(_dense_ffn(cfg, h2, lw, impl, slw, li))
+            if cfg.residual_scale != 1.0:
+                ffn = (ffn.astype(jnp.float32) * cfg.residual_scale).astype(x.dtype)
+            x = x + ffn
         carry = (x, kc, vc, ksc, vsc) if quantized else (x, kc, vc)
         return carry, None
 

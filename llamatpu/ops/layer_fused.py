@@ -1,0 +1,302 @@
+"""Layer megakernel v2 for q8_row weights: the PERF.md plan's second fused
+call — wo + residual + rmsnorm + w13 + silu*up + w2 + residual in ONE pallas
+call per layer — plus a norm-fused wqkv kernel, giving TWO weight-streaming
+pallas calls per transformer layer (wqkv; wo..w2) instead of four.
+
+Why (PERF.md r3 breakdown): decode is a weight-stream problem and the stream
+rate is set by grid steps per kernel call — every `pallas_call` pays a
+pipeline fill before its first block lands (2-step wo streamed at 535 GB/s vs
+789 GB/s for the 126-step vocab head), and every call boundary adds an XLA
+fusion boundary for the glue (residual adds, rmsnorm). This kernel runs the
+layer's entire post-attention weight set (wo -> w13 -> w2, ~54 MB/layer for
+Llama-1B) as one continuous (n_wo + n13 + n2)-step DMA pipeline: while the
+last wo blocks are dotted, the first w13 blocks are already in flight.
+
+Grid phases (1-D grid, scalar-prefetched layer index):
+  steps [0, n_wo):   x2[:, s*towo:...] = x[:, tile] + rs * (attn @ wo_blk^T) * s_wo
+  step  n_wo:        h = rmsnorm(x2) * ffn_norm          (VMEM scratch, f32)
+  steps [n_wo, +n13): g13[:, tile] = (h @ w13_blk^T) * s13
+  step  n_wo+n13:    act = silu(g13[:, :F]) * g13[:, F:]
+  steps [.., end):   out[:, tile] = x2[:, tile] + rs * (act @ w2_blk^T) * s2
+
+Index maps clamp every input to its own phase so inactive phases issue no new
+DMA. q8_row only (per-row scales multiply the output tile in-kernel — no
+block-scale expansion, no column interleave). The rmsnorm-inside-matmul trick
+also serves wqkv: step 0 computes h = rmsnorm(x)*attn_norm into scratch, all
+steps dot against it (removes the pre-attention glue fusion boundary).
+
+Numerics: residuals accumulate in f32 inside the kernel (the unfused path
+rounds the residual stream to bf16 between calls); parity is tolerance-gated
+by tests/test_layer_fused.py and the parity-gate rowq rows.
+
+Reference tier being replaced: the per-projection GEMV kernel chain +
+host-glued norms of TransformerComputeKernelsLayered.java:2773-2945 (one
+dispatch per projection per layer there; two per layer here).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from llamatpu.models.weights import QTensor
+from llamatpu.ops.ffn_fused import _BLOCK_BYTES, _MAX_T, _VMEM_BUDGET, _pick_to
+
+
+# ------------------------------------------------------------- tail kernel
+def _tail_kernel(li_ref, attn_ref, x_ref, nw_ref, wo_ref, so_ref,
+                 w13_ref, s13_ref, w2_ref, s2_ref, o_ref,
+                 x2_ref, h_ref, g13_ref, act_ref, *,
+                 nwo, towo, n13, to13, n2, to2, f, d, eps, rs, dot_dtype):
+    s = pl.program_id(0)
+
+    @pl.when(s < nwo)
+    def _():
+        y = jax.lax.dot_general(
+            attn_ref[:].astype(dot_dtype), wo_ref[0].astype(dot_dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        y = y * so_ref[0][:, 0][None, :]
+        if rs != 1.0:
+            y = y * rs
+        x2_ref[:, pl.ds(s * towo, towo)] = (
+            x_ref[:, pl.ds(s * towo, towo)].astype(jnp.float32) + y)
+
+    @pl.when((s >= nwo) & (s < nwo + n13))
+    def _():
+        @pl.when(s == nwo)
+        def _():
+            x2 = x2_ref[:]
+            ss = jnp.mean(x2 * x2, axis=-1, keepdims=True) + eps
+            h_ref[:] = (x2 * jax.lax.rsqrt(ss)
+                        * nw_ref[0][None, :].astype(jnp.float32)
+                        ).astype(dot_dtype)
+
+        j = s - nwo
+        y = jax.lax.dot_general(
+            h_ref[:], w13_ref[0].astype(dot_dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        g13_ref[:, pl.ds(j * to13, to13)] = y * s13_ref[0][:, 0][None, :]
+
+    @pl.when(s >= nwo + n13)
+    def _():
+        @pl.when(s == nwo + n13)
+        def _():
+            gate = g13_ref[:, :f]
+            up = g13_ref[:, f:]
+            act_ref[:] = (gate * jax.nn.sigmoid(gate) * up).astype(dot_dtype)
+
+        j = s - nwo - n13
+        y2 = jax.lax.dot_general(
+            act_ref[:], w2_ref[0].astype(dot_dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        y2 = y2 * s2_ref[0][:, 0][None, :]
+        if rs != 1.0:
+            y2 = y2 * rs
+        o_ref[:] = x2_ref[:, pl.ds(j * to2, to2)] + y2
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "rs", "interpret"))
+def _tail_2d(wo_qs, wo_s, w13_qs, w13_s, w2_qs, w2_s, nw, attn2, x2, li,
+             eps, rs, interpret=False):
+    L, d, hdim = wo_qs.shape
+    _, o13, _ = w13_qs.shape
+    _, d2, f = w2_qs.shape
+    t = x2.shape[0]
+    tp = -(-t // 8) * 8
+    if tp != t:
+        attn2 = jnp.pad(attn2, ((0, tp - t), (0, 0)))
+        x2 = jnp.pad(x2, ((0, tp - t), (0, 0)))
+    towo = _pick_to(d, hdim)
+    to13 = _pick_to(o13, d)
+    to2 = _pick_to(d2, f)
+    nwo, n13, n2 = d // towo, o13 // to13, d2 // to2
+    dot_dtype = jnp.float32 if x2.dtype == jnp.float32 else jnp.bfloat16
+    li_arr = jnp.asarray(li, jnp.int32).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nwo + n13 + n2,),
+        in_specs=[
+            pl.BlockSpec((tp, hdim), lambda s, li_: (0, 0)),
+            pl.BlockSpec((tp, d), lambda s, li_: (0, 0)),
+            pl.BlockSpec((1, d), lambda s, li_: (li_[0], 0)),
+            pl.BlockSpec((1, towo, hdim),
+                         lambda s, li_: (li_[0], jnp.minimum(s, nwo - 1), 0)),
+            pl.BlockSpec((1, towo, 1),
+                         lambda s, li_: (li_[0], jnp.minimum(s, nwo - 1), 0)),
+            pl.BlockSpec((1, to13, d),
+                         lambda s, li_: (li_[0], jnp.clip(s - nwo, 0, n13 - 1), 0)),
+            pl.BlockSpec((1, to13, 1),
+                         lambda s, li_: (li_[0], jnp.clip(s - nwo, 0, n13 - 1), 0)),
+            pl.BlockSpec((1, to2, f),
+                         lambda s, li_: (li_[0],
+                                         jnp.clip(s - nwo - n13, 0, n2 - 1), 0)),
+            pl.BlockSpec((1, to2, 1),
+                         lambda s, li_: (li_[0],
+                                         jnp.clip(s - nwo - n13, 0, n2 - 1), 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (tp, to2), lambda s, li_: (0, jnp.clip(s - nwo - n13, 0, n2 - 1))),
+        scratch_shapes=[
+            pltpu.VMEM((tp, d), jnp.float32),      # x2 (post-attn residual)
+            pltpu.VMEM((tp, d), dot_dtype),        # h (normed FFN input)
+            pltpu.VMEM((tp, o13), jnp.float32),    # g13
+            pltpu.VMEM((tp, f), dot_dtype),        # act
+        ],
+    )
+    y = pl.pallas_call(
+        functools.partial(_tail_kernel, nwo=nwo, towo=towo, n13=n13, to13=to13,
+                          n2=n2, to2=to2, f=f, d=d, eps=eps, rs=rs,
+                          dot_dtype=dot_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((tp, d2), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * tp * (d * hdim + o13 * d + d2 * f),
+            bytes_accessed=(d * hdim + o13 * d + d2 * f
+                            + tp * (hdim + d) * 2 + tp * d2 * 4),
+            transcendentals=tp * f,
+        ),
+    )(li_arr, attn2, x2, nw, wo_qs, wo_s, w13_qs, w13_s, w2_qs, w2_s)
+    return y[:t] if tp != t else y
+
+
+def _tail_vmem(tp, d, hdim, o13, f, towo, to13, to2, xbytes, act_bytes):
+    return (tp * hdim * xbytes + tp * d * xbytes          # attn + x blocks
+            + tp * d * 4 + tp * d * act_bytes             # x2 + h scratch
+            + tp * o13 * 4 + tp * f * act_bytes           # g13 + act scratch
+            + 2 * tp * to2 * 4                            # out blocks (2x)
+            + 2 * (towo * hdim + towo * 4)                # wo blocks (2x)
+            + 2 * (to13 * d + to13 * 4)                   # w13 blocks (2x)
+            + 2 * (to2 * f + to2 * 4))                    # w2 blocks (2x)
+
+
+def layer_tail_fused_rowq(wo: QTensor, w13: QTensor, w2: QTensor, ffn_norm,
+                          attn, x, li, eps: float, residual_scale: float = 1.0,
+                          interpret=None):
+    """new_x[..., D] = x + rs*wo(attn) then + rs*FFN(rmsnorm(...)) with stacked
+    q8_row wo [L, D, H] / w13 [L, 2F, D] / w2 [L, D, F] and stacked ffn_norm
+    [L, D]. Returns None when the shape isn't eligible (caller falls back to
+    the per-call path)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    for w in (wo, w13, w2):
+        if not (isinstance(w, QTensor) and w.kind == "q8_row"
+                and w.qs.ndim == 3 and not w.logical_out):
+            return None
+    lead = x.shape[:-1]
+    t = 1
+    for dd in lead:
+        t *= dd
+    if t > _MAX_T:
+        return None
+    d, hdim = wo.qs.shape[-2:]
+    o13, d13 = w13.qs.shape[-2:]
+    d2, f = w2.qs.shape[-2:]
+    if not (d13 == d == d2 and o13 == 2 * f and x.shape[-1] == d
+            and attn.shape[-1] == hdim):
+        return None
+    towo, to13, to2 = _pick_to(d, hdim), _pick_to(o13, d), _pick_to(d2, f)
+    if not (towo and to13 and to2):
+        return None
+    tp = -(-t // 8) * 8
+    xbytes = 4 if x.dtype == jnp.float32 else 2
+    if _tail_vmem(tp, d, hdim, o13, f, towo, to13, to2, xbytes, xbytes) > _VMEM_BUDGET:
+        return None
+    y = _tail_2d(wo.qs, wo.scales, w13.qs, w13.scales, w2.qs, w2.scales,
+                 ffn_norm, attn.reshape(t, hdim), x.reshape(t, d), li,
+                 float(eps), float(residual_scale), interpret=interpret)
+    return y.reshape(*lead, d).astype(x.dtype)
+
+
+# ------------------------------------------------------- norm+qkv kernel
+def _qkv_kernel(li_ref, x_ref, nw_ref, w_ref, s_ref, o_ref, h_ref, *,
+                eps, dot_dtype):
+    s = pl.program_id(0)
+
+    @pl.when(s == 0)
+    def _():
+        x = x_ref[:].astype(jnp.float32)
+        ss = jnp.mean(x * x, axis=-1, keepdims=True) + eps
+        h_ref[:] = (x * jax.lax.rsqrt(ss)
+                    * nw_ref[0][None, :].astype(jnp.float32)).astype(dot_dtype)
+
+    y = jax.lax.dot_general(
+        h_ref[:], w_ref[0].astype(dot_dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[:] = y * s_ref[0][:, 0][None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def _qkv_2d(qs, scales, nw, x2, li, eps, interpret=False):
+    L, o, d = qs.shape
+    t = x2.shape[0]
+    tp = -(-t // 8) * 8
+    if tp != t:
+        x2 = jnp.pad(x2, ((0, tp - t), (0, 0)))
+    to = _pick_to(o, d)
+    n = o // to
+    dot_dtype = jnp.float32 if x2.dtype == jnp.float32 else jnp.bfloat16
+    li_arr = jnp.asarray(li, jnp.int32).reshape(1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((tp, d), lambda s, li_: (0, 0)),
+            pl.BlockSpec((1, d), lambda s, li_: (li_[0], 0)),
+            pl.BlockSpec((1, to, d), lambda s, li_: (li_[0], s, 0)),
+            pl.BlockSpec((1, to, 1), lambda s, li_: (li_[0], s, 0)),
+        ],
+        out_specs=pl.BlockSpec((tp, to), lambda s, li_: (0, s)),
+        scratch_shapes=[pltpu.VMEM((tp, d), dot_dtype)],
+    )
+    y = pl.pallas_call(
+        functools.partial(_qkv_kernel, eps=eps, dot_dtype=dot_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((tp, o), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * tp * o * d,
+            bytes_accessed=o * d + tp * d * 2 + tp * o * 4,
+            transcendentals=0),
+    )(li_arr, x2, nw, qs, scales)
+    return y[:t] if tp != t else y
+
+
+def qkv_norm_fused_rowq(wqkv: QTensor, attn_norm, x, li, eps: float,
+                        interpret=None):
+    """y[..., O] = rmsnorm(x, attn_norm[li]) @ wqkv[li]^T for stacked q8_row
+    wqkv [L, O, D] (attn_norm stacked [L, D]). Returns None if not eligible."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if not (isinstance(wqkv, QTensor) and wqkv.kind == "q8_row"
+            and wqkv.qs.ndim == 3 and not wqkv.logical_out):
+        return None
+    lead = x.shape[:-1]
+    t = 1
+    for dd in lead:
+        t *= dd
+    if t > _MAX_T:
+        return None
+    o, d = wqkv.qs.shape[-2:]
+    if x.shape[-1] != d:
+        return None
+    to = _pick_to(o, d)
+    if not to:
+        return None
+    tp = -(-t // 8) * 8
+    xbytes = 4 if x.dtype == jnp.float32 else 2
+    need = (tp * d * xbytes + tp * d * xbytes     # x block + h scratch
+            + 2 * tp * to * 4 + 2 * (to * d + to * 4))
+    if need > _VMEM_BUDGET:
+        return None
+    y = _qkv_2d(wqkv.qs, wqkv.scales, attn_norm, x.reshape(t, d), li,
+                float(eps), interpret=interpret)
+    return y.reshape(*lead, o).astype(x.dtype)

@@ -86,9 +86,11 @@ def phase_programs(eng, pos: int):
     kv, g, hd = cfg.n_kv_heads, cfg.gqa_groups, cfg.head_dim
     progs = {}
 
-    def stream_phase(key):
-        """scan(L*REPEAT) of one stacked matmul; carry folds the output back
-        into a fixed-width state so the body has a single kernel."""
+    def stream_phase(key, t=1, repeat=None):
+        """scan(L*repeat) of one stacked matmul; carry folds the output back
+        into a fixed-width state so the body has a single kernel. t>1 = the
+        prefill GEMM shape (int8-MXU path for rowq at t >= INT8_MXU_MIN_T)."""
+        repeat = repeat or REPEAT_MM
         qt = slw[key]
         in_dim = qt.qs.shape[-1] * (2 if getattr(qt, "layout", "") == "packed4" else 1)
         if getattr(qt, "kind", "") == "q8_row":
@@ -110,11 +112,11 @@ def phase_programs(eng, pos: int):
             def step_a(x, li):
                 return step(st["qt"], x, li)
 
-            x, _ = jax.lax.scan(step_a, st["x"], li_rep_n(REPEAT_MM))
+            x, _ = jax.lax.scan(step_a, st["x"], li_rep_n(repeat))
             return x
 
-        state = {"x": jnp.zeros((1, 1, in_dim), jnp.bfloat16), "qt": qt}
-        return jax.jit(prog_fn), state, qbytes(qt), REPEAT_MM
+        state = {"x": jnp.zeros((1, t, in_dim), jnp.bfloat16), "qt": qt}
+        return jax.jit(prog_fn), state, qbytes(qt), repeat
 
     if cfg.is_moe:
         for key in ("wqkv", "wo", "shared_g13", "shared_down"):
@@ -150,6 +152,56 @@ def phase_programs(eng, pos: int):
         for key in ("wqkv", "wq", "wk", "wv", "wo", "w13", "w1", "w3", "w2"):
             if key in slw:
                 progs[f"mm:{key}"] = stream_phase(key)
+
+    # --- fused megakernel calls (q8_row decode: ops/layer_fused.py) — the
+    # TWO pallas calls the production rowq layer actually makes, timed as
+    # their own phases so PERF.md can attribute the per-call pipeline fills
+    rowq_fused = (not cfg.is_moe and "wqkv" in slw and "w13" in slw
+                  and getattr(slw["wqkv"], "kind", "") == "q8_row")
+    if rowq_fused:
+        from llamatpu.ops.layer_fused import (layer_tail_fused_rowq,
+                                              qkv_norm_fused_rowq)
+
+        def qkvf_prog(st):
+            wq_, an_ = st["wqkv"], st["an"]
+
+            def step(x, li):
+                y = qkv_norm_fused_rowq(wq_, an_, x, li, cfg.rms_norm_eps)
+                return x + y[..., : cfg.dim].astype(x.dtype) * 1e-6, None
+
+            x, _ = jax.lax.scan(step, st["x"], li_rep_n(REPEAT_MM))
+            return x
+
+        progs["fused:norm+qkv"] = (
+            jax.jit(qkvf_prog),
+            {"x": jnp.zeros((1, 1, cfg.dim), jnp.bfloat16),
+             "wqkv": slw["wqkv"], "an": slw["attn_norm"]},
+            qbytes(slw["wqkv"]), REPEAT_MM)
+
+        hdim = slw["wo"].qs.shape[-1]
+
+        def tail_prog(st):
+            wo_, w13_, w2_, fn_ = st["wo"], st["w13"], st["w2"], st["fn"]
+
+            def step(c, li):
+                x, attn = c
+                y = layer_tail_fused_rowq(wo_, w13_, w2_, fn_, attn, x, li,
+                                          cfg.rms_norm_eps,
+                                          cfg.residual_scale)
+                # keep the carry bounded over L*REPEAT steps (y ~ x + eps)
+                return (x + y.astype(x.dtype) * 1e-6, attn), None
+
+            c, _ = jax.lax.scan(step, (st["x"], st["attn"]), li_rep_n(REPEAT_MM))
+            return c[0]
+
+        progs["fused:tail(wo+ffn)"] = (
+            jax.jit(tail_prog),
+            {"x": jnp.zeros((1, 1, cfg.dim), jnp.bfloat16),
+             "attn": jnp.ones((1, 1, hdim), jnp.bfloat16) * 0.01,
+             "wo": slw["wo"], "w13": slw["w13"], "w2": slw["w2"],
+             "fn": slw["ffn_norm"]},
+            qbytes(slw["wo"]) + qbytes(slw["w13"]) + qbytes(slw["w2"]),
+            REPEAT_MM)
 
     # --- decode attention (stacked-cache pallas kernel)
     kc, vc = eng.cache.k, eng.cache.v
@@ -338,17 +390,115 @@ def run_preset(preset: str, quant: str, pack4: bool, rowq: bool = False):
     return {"preset": preset, "quant": label, "tok_s": 1 / full_s, "rows": rows}
 
 
+# v5e peaks for MFU accounting (prefill is compute-bound, decode HBM-bound)
+PEAK_BF16_FLOPS = 197e12
+PEAK_INT8_OPS = 394e12
+REPEAT_PF = 24  # prefill GEMM passes per dispatch (each pass ~0.3-3 ms)
+
+
+def run_prefill(preset: str, quant: str, pack4: bool, rowq: bool = False):
+    """Prefill roofline (VERDICT r3 #5): full pp512 wall time + per-projection
+    GEMM phases at T=512 with TFLOP/s and MFU vs the MXU peak (int8 peak for
+    the rowq w8a8 path, bf16 otherwise). Non-GEMM prefill work (causal
+    attention, norms/rope, KV writes, sampling) lands in the residual."""
+    from llamatpu.models.synthetic import build_synthetic_model
+    from llamatpu.runtime.engine import Engine
+
+    label = quant + ("-pack4" if pack4 else "") + ("-rowq" if rowq else "")
+    print(f"=== PREFILL {preset} {label} ===", flush=True)
+    model = build_synthetic_model(preset, quant=quant, pack4=pack4)
+    eng = Engine(model, cache_len=1024, prefill_chunk=512, impl="pallas",
+                 temperature=0.0, decode_window=16, rowq=rowq)
+    print(f"  [engine ready (compile {eng.metrics.compile_s:.0f}s)]", flush=True)
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(0, model.cfg.vocab_size, 512).tolist()
+    full_s = float("inf")
+    for _ in range(3):
+        eng.reset()
+        t0 = time.perf_counter()
+        tok, _ = eng.prefill(prompt, 0)
+        _ = int(tok[0])
+        full_s = min(full_s, time.perf_counter() - t0)
+    print(f"  full pp512: {full_s*1e3:.1f} ms ({512/full_s:.0f} tok/s)", flush=True)
+
+    tiny = jax.jit(lambda x: x + 1.0)
+    rtt = timed(tiny, jnp.zeros((8, 128), jnp.float32), 1)
+
+    rows = [{"phase": "full_pp512", "ms": full_s * 1e3,
+             "tok_s": 512 / full_s, "dispatch_floor_ms": rtt * 1e3}]
+    total_parts = 0.0
+    peak = PEAK_INT8_OPS if rowq else PEAK_BF16_FLOPS
+    builders = _prefill_gemm_builders(eng)
+    for name, (prog, state, flops, rep) in builders.items():
+        print(f"  [{name}: tracing+compiling...]", flush=True)
+        s = max(timed(prog, state, rep) - rtt / rep, 0.0)
+        total_parts += s
+        rows.append({"phase": name, "ms": s * 1e3,
+                     "tflops": flops / s / 1e12, "mfu": flops / s / peak})
+        print(f"  {name:22s} {s*1e3:7.3f} ms/chunk  {flops/s/1e12:6.1f} TFLOP/s"
+              f"  MFU {flops/s/peak:5.1%}", flush=True)
+    # head runs once per chunk (logit_index)
+    resid = full_s * 1e3 - total_parts * 1e3
+    rows.append({"phase": "residual(attn+glue+head+writes)", "ms": resid})
+    print(f"  residual (attn+glue+head+writes): {resid:.1f} ms", flush=True)
+    return {"preset": preset, "quant": label, "mode": "prefill",
+            "pp512_tok_s": 512 / full_s, "rows": rows}
+
+
+def _prefill_gemm_builders(eng):
+    """Per-projection T=512 GEMM programs via phase_programs' stream builder,
+    with flop accounting."""
+    from llamatpu.models.weights import QTensor
+    from llamatpu.ops.matmul import matmul
+
+    cfg = eng.cfg
+    slw = eng.weights["layers"]
+    L = cfg.n_layers
+    out = {}
+    t = 512
+    for key in ("wqkv", "wq", "wk", "wv", "wo", "w13", "w1", "w3", "w2"):
+        qt = slw.get(key)
+        if not isinstance(qt, QTensor):
+            continue
+        in_dim = qt.qs.shape[-1] * (2 if qt.layout == "packed4" else 1)
+        if qt.kind == "q8_row":
+            in_dim = qt.qs.shape[-1]
+        o_dim = qt.qs.shape[-2]
+
+        def prog_fn(st, _in=in_dim):
+            def step(x, li):
+                y = matmul(st["qt"], x, "pallas", li=li)
+                o = y.shape[-1]
+                if o >= _in:
+                    return x + y[..., :_in].astype(x.dtype) * 1e-6, None
+                return x + jnp.pad(
+                    y, ((0, 0), (0, 0), (0, _in - o))).astype(x.dtype) * 1e-6, None
+
+            x, _ = jax.lax.scan(
+                step, st["x"],
+                jnp.tile(jnp.arange(L, dtype=jnp.int32), REPEAT_PF))
+            return x
+
+        state = {"x": jnp.full((1, t, in_dim), 0.01, jnp.bfloat16), "qt": qt}
+        flops = 2 * t * o_dim * in_dim  # per layer-pass
+        out[f"gemm:{key}"] = (jax.jit(prog_fn), state, flops, REPEAT_PF)
+    return out
+
+
 def main():
+    prefill = "--prefill" in sys.argv
+    argv = [a for a in sys.argv[1:] if a != "--prefill"]
     targets = [("llama32-1b", "q8_0", False, False)]
-    if len(sys.argv) > 1:
-        preset = sys.argv[1]
-        quant = sys.argv[2] if len(sys.argv) > 2 else "q8_0"
+    if argv:
+        preset = argv[0]
+        quant = argv[1] if len(argv) > 1 else "q8_0"
         rowq = quant.endswith("-rowq")
         quant = quant.replace("-rowq", "")
         pack4 = quant.endswith("-pack4")
         quant = quant.replace("-pack4", "")
         targets = [(preset, quant, pack4, rowq)]
-    out = [run_preset(*t) for t in targets]
+    fn = run_prefill if prefill else run_preset
+    out = [fn(*t) for t in targets]
     print(json.dumps(out))
 
 
