@@ -18,6 +18,12 @@ quantization variant derives from the same master by the exact ggml encode
   q8_0-kvint8   q8_0 weights + int8 KV cache (ops/kv_quant.py)
   q4_0          Q4_0 fused dequant
   q4_0-pack4    Q4_0 packed nibbles (--pack4 storage)
+  q4_k          NATIVE Q4_K (gguf/quants.q4_k_views: Q4_0 kernels + per-32
+                additive offsets via the xbsum epilogue dot) — the K-quant
+                compute path; encode is the simplified single-pass ggml-order
+                quantize_q4_k, so the delta bounds OUR encoder+path, and a
+                real llama.cpp-encoded checkpoint can only do better
+  q4_k-pack4    q4_k packed nibbles (the serving storage for K-quant GGUFs)
   q8_row        Q8_0 re-quantized per OUT ROW (--rowq serving format,
                 models/weights.py rowq_requant): decode cast-and-dot kernel
   q8_row-a8     q8_row with the int8 MXU path FORCED at every width — adds
@@ -35,7 +41,7 @@ from __future__ import annotations
 import numpy as np
 
 VARIANTS = ("f32", "bf16", "q8_0", "q8_0-int8dot", "q8_0-kvint8",
-            "q4_0", "q4_0-pack4", "q8_row", "q8_row-a8")
+            "q4_0", "q4_0-pack4", "q4_k", "q4_k-pack4", "q8_row", "q8_row-a8")
 
 # keys quantized in a real GGUF checkpoint: the dense llama graph, plus the
 # MoE routed-expert stacks and the always-on shared expert (router /
@@ -63,12 +69,14 @@ def make_variant(master, variant: str):
 
     from llamatpu.models.loader import LoadedModel
     from llamatpu.models.weights import (prepare_qtensor, quantize_array_q4_0,
+                                         quantize_array_q4_k,
                                          quantize_array_q8_0, rowq_requant)
 
     kind = ("q8_row" if variant.startswith("q8_row")
             else "q8_0" if variant.startswith("q8_0")
+            else "q4_k" if variant.startswith("q4_k")
             else "q4_0" if variant.startswith("q4_0") else None)
-    pack4 = variant == "q4_0-pack4"
+    pack4 = variant.endswith("-pack4")
     impl = ("int8" if variant == "q8_0-int8dot"
             else "xla" if kind is None else "pallas")
     cache_dtype = jnp.int8 if variant == "q8_0-kvint8" else jnp.float32
@@ -83,17 +91,16 @@ def make_variant(master, variant: str):
         if kind == "q8_row":  # exact load path: GGUF Q8_0 encode, then the
             return rowq_requant(  # --rowq load-time conversion
                 prepare_qtensor(quantize_array_q8_0(arr)))
-        q = quantize_array_q8_0(arr) if kind == "q8_0" else quantize_array_q4_0(arr)
+        q = (quantize_array_q8_0(arr) if kind == "q8_0"
+             else quantize_array_q4_k(arr) if kind == "q4_k"
+             else quantize_array_q4_0(arr))
         return prepare_qtensor(q, pack4=pack4)
 
     for k in _MATMUL_KEYS:
         if k in lw:
-            if kind == "q8_row" and k.endswith("_exps"):
-                # routed experts stay Q8_0 under --rowq (grouped kernel
-                # layout) — mirror models/weights.py rowq_convert_weights
-                lw[k] = prepare_qtensor(quantize_array_q8_0(np.asarray(lw[k])))
-            else:
-                lw[k] = conv(lw[k])
+            # routed experts convert too under --rowq (round 4: the grouped
+            # kernels have a rowq variant) — conv handles every key uniformly
+            lw[k] = conv(lw[k])
     w["layers"] = lw
     w["wcls"] = conv(w["wcls"])
     # token embedding: real checkpoints quantize it too; the lookup reads the

@@ -119,6 +119,85 @@ def _kquant_scales_mins(scale_bytes: np.ndarray) -> tuple[np.ndarray, np.ndarray
     return sc, mn
 
 
+def q4_k_views(raw: np.ndarray, n_elements: int):
+    """Depack raw Q4_K superblocks into the NATIVE TPU compute layout:
+    (qs int8 [nb32, 32] values in [-8, 7], scales f32 [nb32], offs f32 [nb32])
+    with nb32 = n/32 ordinary 32-element blocks, such that
+
+        w[j] = qs[j] * scales[block(j)] + offs[block(j)]
+
+    exactly equals the reference dequant (Q4_KFloatTensor.java getFloat:
+    d*sc*q - dmin*m, q in [0,15]): qs stores q-8 so the whole Q4_0 kernel
+    machinery (interleave, pack4 nibbles, in-kernel per-32 scale expansion)
+    applies unchanged, and the additive offset term absorbs the shift:
+    offs = 8*d*sc - dmin*m. The offset contribution to a matmul is
+    xbsum @ offs^T (per-32-block activation sums), computed OUTSIDE the
+    kernel as an XLA epilogue dot (ops/pallas_matmul.py). f32 scales/offs are
+    exact (f16 d/dmin x 6-bit int products need 17 significand bits)."""
+    nb = n_elements // QK_K
+    blocks = raw[: nb * 144].reshape(nb, 144)
+    d = _f16(np.ascontiguousarray(blocks[:, 0:2]).view(np.uint16).reshape(nb))
+    dmin = _f16(np.ascontiguousarray(blocks[:, 2:4]).view(np.uint16).reshape(nb))
+    sc, mn = _kquant_scales_mins(blocks[:, 4:16])
+    qsrc = blocks[:, 16:]  # [nb, 128]
+    qs = np.empty((nb, QK_K), dtype=np.int8)
+    for pair in range(4):  # 64-elem pairs: low nibbles -> sub 2p, high -> 2p+1
+        chunk = qsrc[:, pair * 32 : (pair + 1) * 32]
+        qs[:, pair * 64 : pair * 64 + 32] = (chunk & 0x0F).astype(np.int8) - 8
+        qs[:, pair * 64 + 32 : pair * 64 + 64] = (chunk >> 4).astype(np.int8) - 8
+    scales = (d[:, None] * sc.astype(np.float32))            # [nb, 8]
+    offs = 8.0 * scales - dmin[:, None] * mn.astype(np.float32)
+    return (qs.reshape(-1, 32),
+            np.ascontiguousarray(scales, dtype=np.float32).reshape(-1),
+            np.ascontiguousarray(offs, dtype=np.float32).reshape(-1))
+
+
+def quantize_q4_k(values: np.ndarray) -> np.ndarray:
+    """Encode f32 values as Q4_K superblocks (ggml layout; simplified
+    single-pass scale search vs llama.cpp's iterative make_qkx2_quants —
+    valid blocks, marginally coarser ppl; used for tests/parity/synthetic
+    checkpoints, not re-export fidelity)."""
+    values = np.asarray(values, dtype=np.float32)
+    assert values.size % QK_K == 0
+    v = values.reshape(-1, 8, 32)                     # [nb, sub, 32]
+    nb = v.shape[0]
+    vmax = v.max(axis=-1)
+    mins_f = np.maximum(-v.min(axis=-1), 0.0)         # ggml mins are >= 0
+    scales_f = np.maximum(vmax + mins_f, 0.0) / 15.0  # per-sub ideal scale
+    d = scales_f.max(axis=-1) / 63.0                  # [nb]
+    dmin = mins_f.max(axis=-1) / 63.0
+    d16 = d.astype(np.float16)
+    dmin16 = dmin.astype(np.float16)
+    df, dminf = d16.astype(np.float32), dmin16.astype(np.float32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sc = np.where(df[:, None] > 0,
+                      np.clip(np.round(scales_f / df[:, None]), 0, 63), 0
+                      ).astype(np.int32)
+        mn = np.where(dminf[:, None] > 0,
+                      np.clip(np.round(mins_f / dminf[:, None]), 0, 63), 0
+                      ).astype(np.int32)
+        eff_s = df[:, None] * sc                      # [nb, 8]
+        q = np.where(eff_s[..., None] > 0,
+                     np.clip(np.round(
+                         (v + (dminf[:, None] * mn)[..., None])
+                         / np.where(eff_s[..., None] > 0, eff_s[..., None], 1.0)),
+                         0, 15), 0).astype(np.uint8)
+    out = np.zeros((nb, 144), dtype=np.uint8)
+    out[:, 0:2] = d16[:, None].view(np.uint8)
+    out[:, 2:4] = dmin16[:, None].view(np.uint8)
+    # 12-byte 6-bit pack (inverse of _kquant_scales_mins)
+    for j in range(4):
+        out[:, 4 + j] = (sc[:, j] & 63) | ((sc[:, j + 4] >> 4) << 6)
+        out[:, 8 + j] = (mn[:, j] & 63) | ((mn[:, j + 4] >> 4) << 6)
+        out[:, 12 + j] = (sc[:, j + 4] & 0x0F) | ((mn[:, j + 4] & 0x0F) << 4)
+    qf = q.reshape(nb, QK_K)
+    for pair in range(4):  # low nibbles = elems 64p..64p+31, high = +32..+63
+        lo = qf[:, pair * 64 : pair * 64 + 32]
+        hi = qf[:, pair * 64 + 32 : pair * 64 + 64]
+        out[:, 16 + pair * 32 : 16 + (pair + 1) * 32] = lo | (hi << 4)
+    return out.reshape(-1)
+
+
 def dequantize_q4_k(raw: np.ndarray, n_elements: int) -> np.ndarray:
     nb = n_elements // QK_K
     blocks = raw[: nb * 144].reshape(nb, 144)

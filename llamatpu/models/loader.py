@@ -120,19 +120,32 @@ def _load_matmul(reader: GGUFReader, name: str, mode: str, dtype) -> QTensor | n
     info = reader.tensor_infos[name]
     t = info.ggml_type
     if mode == "quant" and t.is_quantized and t.supported:
+        n = info.n_elements
+        shape = info.shape
+        if t == GGMLType.Q4_K:
+            # NATIVE K-quant compute (round 4): Q4_K streams ~6 bits/weight
+            # (packed nibbles + f32 per-32 scale/offset) through the Q4_0
+            # kernel machinery instead of the 9 bits/weight a Q8_0 requant
+            # costs on a bytes-bound decode. Reference analog: the CPU engine
+            # runs Q4_K directly (tensor/standard/Q4_KFloatTensor.java);
+            # kernel-native here.
+            qs, scales, offs = quants.q4_k_views(
+                np.asarray(reader.tensor_raw(name), np.uint8), n)
+            qs = np.ascontiguousarray(qs).reshape(shape)
+            scales = np.ascontiguousarray(scales).reshape(*shape[:-1], shape[-1] // 32)
+            offs = np.ascontiguousarray(offs).reshape(*shape[:-1], shape[-1] // 32)
+            return QTensor(qs, scales, "q4_k", offs=offs)
         if t in (GGMLType.Q8_0, GGMLType.Q4_0):
             raw = reader.tensor_raw(name)
-        else:  # K-quants: requantize to Q8_0 (reference GPU-load parity)
+        else:  # other K-quants: requantize to Q8_0 (reference GPU-load parity)
             raw = quants.requantize_to_q8_0(t, reader.tensor_raw(name), info.n_elements)
             t = GGMLType.Q8_0
-        n = info.n_elements
         if t == GGMLType.Q8_0:
             qs, scales = quants.q8_0_views(np.asarray(raw, np.uint8), n)
             kind = "q8_0"
         else:
             qs, scales = quants.q4_0_views(np.asarray(raw, np.uint8), n)
             kind = "q4_0"
-        shape = info.shape
         qs = np.ascontiguousarray(qs).reshape(shape)
         scales = np.ascontiguousarray(scales).astype(np.float32).reshape(*shape[:-1], shape[-1] // 32)
         return QTensor(qs, scales, kind)
@@ -141,13 +154,17 @@ def _load_matmul(reader: GGUFReader, name: str, mode: str, dtype) -> QTensor | n
 
 def _row_slice(w, a: int, b: int):
     if isinstance(w, QTensor):
-        return QTensor(w.qs[a:b], w.scales[a:b], w.kind)
+        return QTensor(w.qs[a:b], w.scales[a:b], w.kind,
+                       offs=None if w.offs is None else w.offs[a:b])
     return w[a:b]
 
 
 def _stack(ws: list):
     if isinstance(ws[0], QTensor):
-        return QTensor(np.stack([t.qs for t in ws]), np.stack([t.scales for t in ws]), ws[0].kind)
+        offs = (np.stack([t.offs for t in ws])
+                if ws[0].offs is not None else None)
+        return QTensor(np.stack([t.qs for t in ws]),
+                       np.stack([t.scales for t in ws]), ws[0].kind, offs=offs)
     return np.stack(ws)
 
 

@@ -91,12 +91,15 @@ def _rand_qtensor(rng: np.random.Generator, shape: tuple[int, ...],
     # MoE expert tensors (values need only be in-range, not perfectly uniform)
     n = int(np.prod(shape))
     raw = np.frombuffer(rng.bytes(n), dtype=np.uint8)
-    if kind == "q4_0":
+    if kind in ("q4_0", "q4_k"):
         qs = ((raw & 0x0F).astype(np.int8) - 8).reshape(shape)
     else:
         qs = np.maximum(raw.view(np.int8), -127).reshape(shape)
     scales = (rng.random(size=(*shape[:-1], shape[-1] // 32), dtype=np.float32)
               * 0.001 + 0.0005)
+    if kind == "q4_k":  # native K-quant: per-32 additive offsets ride along
+        offs = (rng.random(size=scales.shape, dtype=np.float32) - 0.5) * 0.002
+        return QTensor(qs, scales, kind, offs=offs)
     return QTensor(qs, scales, kind)
 
 

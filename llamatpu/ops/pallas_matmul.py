@@ -425,4 +425,18 @@ def quant_matmul_pallas(w: QTensor, x: jnp.ndarray, interpret: bool | None = Non
                                 layout=w.layout)
     else:
         y = _quant_matmul_2d(qs, scales, x2, interpret=interpret, layout=w.layout)
+    if w.offs is not None:
+        # q4_k additive offsets: sum_b xbsum[t, b] * off[o, b] added as an XLA
+        # epilogue dot (offs never enter the kernel; a stacked [L, O, NB]
+        # slice fuses into the dot operand — no pallas copy trap). xbsum uses
+        # CANONICAL 32-blocks of the activation (offs are block-ordered).
+        nb = I // BLOCK
+        xbsum = x2.astype(jnp.float32).reshape(T, nb, BLOCK).sum(axis=-1)
+        offs = jnp.asarray(w.offs)
+        if li is not None:
+            offs = offs[li]
+        y = y + jax.lax.dot_general(
+            xbsum, offs.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
     return y.reshape(*lead, O).astype(x.dtype)

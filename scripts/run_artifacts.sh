@@ -1,8 +1,7 @@
 #!/bin/bash
-# Sequential TPU artifact run (ONE relay client at a time): every harness that
-# VERDICT r2 flagged as "built but never run on chip", in priority order.
-# Each step runs under tpu_retry (remote-compile broken-pipe resilience);
-# results append to docs/perf-history.jsonl or land as committed artifacts.
+# Sequential TPU artifact run (ONE relay client at a time) — round 4 order:
+# every number the verdict wants engine-measured and committed, priority
+# first so a dying session still lands the headline artifacts.
 #   nohup scripts/run_artifacts.sh > /tmp/artifacts.log 2>&1 &
 set -u
 cd "$(dirname "$0")/.."
@@ -10,42 +9,47 @@ R=scripts/tpu_retry.sh
 H=scripts/append_perf_history.py
 
 step() { echo "##### $(date -u +%H:%M:%S) STEP: $* #####"; }
+hist() { while read -r l; do echo "$l" | python $H /dev/stdin; done < <(grep '^{' "$1"); }
 
-step verify-cli   # drive the CLI end-to-end on the chip (tiny model)
-python - <<'EOF'
-import sys; sys.path.insert(0, "tests")
-import tiny_models
-tiny_models.build_tiny_gguf("/tmp/tiny_llama.gguf", family="llama",
-                            with_tokenizer=True, seed=7)
-EOF
-$R 2 1800 python -m llamatpu.cli run --model /tmp/tiny_llama.gguf \
-  --prompt "hello world" --temperature 0 -n 64
+step bench-rowq   # driver bench: rowq + layer megakernel v2 (fresh compile)
+$R 3 3000 python bench.py | tee /tmp/bench_r04.json
 
-step rowq-bench   # q8_row serving-format decode/prefill rows (+ cached q8_0 ref)
-$R 3 2700 python scripts/bench_matrix.py llama32-1b:q8_0r llama32-1b \
-  > /tmp/rowq_rows.jsonl && \
-  while read -r l; do echo "$l" | python $H /dev/stdin; done < <(grep '^{' /tmp/rowq_rows.jsonl)
+step decode-phases-rowq  # per-phase rowq decode incl. the fused megakernel calls
+$R 3 3600 python scripts/perf_phases.py llama32-1b q8_0-rowq > /tmp/pp_rowq.json 2>/tmp/pp_rowq.log
 
-step parity       # PARITY.md at production geometry (data-derived verdict)
-$R 3 3000 python scripts/run_parity.py llama32-1b
+step parity       # PARITY.md: llama full-depth + MoE reduced-depth tables
+$R 2 5400 python scripts/run_parity.py
 
-step serving      # TTFT/ITG/adversary-stall rows, B=16 dense+paged
-$R 3 3000 python scripts/bench_serving.py llama32-1b q8_0 16 \
-  > /tmp/serving_rows.jsonl && \
-  while read -r l; do echo "$l" | python $H /dev/stdin; done < <(grep '^{' /tmp/serving_rows.jsonl)
+step moe-phases   # MoE per-phase breakdown (VERDICT #4; q4_0p fits the chip)
+$R 3 3600 python scripts/perf_phases.py qwen15-moe-a2.7b q4_0-pack4 > /tmp/pp_moe.json 2>/tmp/pp_moe.log
+
+step prefill-phases  # prefill roofline rows (VERDICT #5): bf16 vs int8 MXU
+$R 3 3600 python scripts/perf_phases.py --prefill llama32-1b q8_0 > /tmp/pf_q8.json 2>/tmp/pf_q8.log
+$R 3 3600 python scripts/perf_phases.py --prefill llama32-1b q8_0-rowq > /tmp/pf_rowq.json 2>/tmp/pf_rowq.log
+
+step q4k-bench    # native Q4_K rows (VERDICT #6): mistral-7b + llama-1b
+$R 3 3600 python scripts/bench_matrix.py mistral-7b:q4_kp mistral-7b:q4_k llama32-1b:q4_kp \
+  > /tmp/q4k_rows.jsonl && hist /tmp/q4k_rows.jsonl
+
+step serving      # TTFT/ITG/adversary-stall rows, B=16 dense+paged, rowq fmt
+$R 3 3600 python scripts/bench_serving.py llama32-1b q8_0r 16 \
+  > /tmp/serving_rows.jsonl && hist /tmp/serving_rows.jsonl
 
 step longctx      # 16k/32k decode-at-depth rows
-$R 3 3000 python scripts/bench_longctx.py llama32-1b q8_0 16384,32768 \
-  > /tmp/longctx_rows.jsonl && \
-  while read -r l; do echo "$l" | python $H /dev/stdin; done < <(grep '^{' /tmp/longctx_rows.jsonl)
+$R 3 3600 python scripts/bench_longctx.py llama32-1b q8_0 16384,32768 \
+  > /tmp/longctx_rows.jsonl && hist /tmp/longctx_rows.jsonl
 
 step spec-decode  # spec-decode overhead + acceptance telemetry row
-$R 2 2700 python scripts/bench_spec.py llama32-1b 8 \
-  > /tmp/spec_rows.jsonl && \
-  while read -r l; do echo "$l" | python $H /dev/stdin; done < <(grep '^{' /tmp/spec_rows.jsonl)
+$R 2 3000 python scripts/bench_spec.py llama32-1b 8 \
+  > /tmp/spec_rows.jsonl && hist /tmp/spec_rows.jsonl
+
+step moe-bench    # MoE decode row refresh post grouped-kernel work
+$R 3 3600 python scripts/bench_matrix.py qwen15-moe-a2.7b:q4_0p \
+  > /tmp/moe_rows.jsonl && hist /tmp/moe_rows.jsonl
 
 step matrix       # full preset matrix refresh (most compile-expensive; last)
-$R 4 3600 python scripts/bench_matrix.py > /tmp/matrix_rows.jsonl && \
-  while read -r l; do echo "$l" | python $H /dev/stdin; done < <(grep '^{' /tmp/matrix_rows.jsonl)
+$R 4 4200 python scripts/bench_matrix.py llama32-1b:q8_0r llama32-1b \
+  qwen3-0.6b mistral-7b:q4_0p phi3-mini > /tmp/matrix_rows.jsonl && \
+  hist /tmp/matrix_rows.jsonl
 
 step done

@@ -2,7 +2,13 @@
 """Run the hermetic quantization-parity table at production geometry and
 write PARITY.md (llamatpu/bench/parity.py has the method + caveats).
 
-  JAX_COMPILATION_CACHE_DIR=/root/.jax_cache python scripts/run_parity.py
+  JAX_COMPILATION_CACHE_DIR=/root/.jax_cache python scripts/run_parity.py \
+      [llama32-1b qwen15-moe-a2.7b ...]
+
+Default presets: llama32-1b (dense kernel coverage, full depth) and
+qwen15-moe-a2.7b at REDUCED DEPTH (n_layers=4; per-layer geometry — 60
+experts x 1408x2048 stacks, top-4 routing, shared expert — is production, but
+a full-depth f32 MoE master would need ~57 GB host RAM).
 """
 import json
 import pathlib
@@ -11,86 +17,120 @@ import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
+# per-preset config: (variants or None for all, geometry overrides, note)
+PRESETS = {
+    "llama32-1b": (None, {}, "full depth; every compute-path variant"),
+    "qwen15-moe-a2.7b": (
+        ("f32", "q8_0", "q4_0", "q4_0-pack4", "q4_k", "q8_row"),
+        {"n_layers": 4},
+        "reduced depth (4 layers — f32 master RAM); production per-layer "
+        "expert geometry; grouped-kernel variants incl. q8_row expert "
+        "stacks and native q4_k experts"),
+}
+
+Q8_REL_MAX, Q4_REL_MAX = 0.01, 0.05          # BASELINE claim classes
+ROWQ_REL_MAX = 0.02                          # --rowq serving format gate
+
+
+def run_one(preset: str, out: list) -> dict:
+    from llamatpu.bench.parity import parity_table
+
+    variants, overrides, note = PRESETS.get(preset, (None, {}, ""))
+    kw = {} if variants is None else {"variants": variants}
+    t0 = time.time()
+    rows = parity_table(preset, corpus_len=1024, cache_len=512, seed=0,
+                        **kw, **overrides)
+    out += ["", f"## {preset}", "",
+            f"_{note}; measured in {time.time()-t0:.0f}s._", "",
+            "| variant | ppl | delta vs f32 | relative |",
+            "|---|---:|---:|---:|"]
+    for r in rows:
+        out.append(f"| {r['variant']} | {r['ppl']:.4f} | {r['delta']:+.4f} "
+                   f"| {r['rel']:+.3%} |")
+    return {r["variant"]: r for r in rows}
+
 
 def main() -> int:
     import jax
 
-    from llamatpu.bench.parity import parity_table
-
-    preset = sys.argv[1] if len(sys.argv) > 1 else "llama32-1b"
-    t0 = time.time()
-    rows = parity_table(preset, corpus_len=1024, cache_len=512, seed=0)
+    presets = sys.argv[1:] or list(PRESETS)
     out = ["# PARITY — quantization-fidelity table (hermetic)", "",
-           f"Preset: `{preset}` (production geometry, seeded synthetic master);",
-           "corpus: 1024 tokens sampled from the f32 master (temp 0.8, seed 42);",
-           "sliding windows: cache 512, stride 256, chunk 16 (identical windows",
-           "for every variant — see llamatpu/bench/parity.py for method+caveats).",
-           f"Backend: {jax.default_backend()}.",
-           "",
-           "| variant | ppl | delta vs f32 | relative |",
-           "|---|---:|---:|---:|"]
-    for r in rows:
-        out.append(f"| {r['variant']} | {r['ppl']:.4f} | {r['delta']:+.4f} "
-                   f"| {r['rel']:+.3%} |")
+           "Method (llamatpu/bench/parity.py): ONE seeded f32 master per",
+           "preset at production geometry; corpus = 1024 tokens sampled from",
+           "the master itself (temp 0.8, seed 42); identical sliding windows",
+           "(cache 512, stride 256, chunk 16) for every variant. Deltas vs",
+           "f32 on identical weights measure each quantized COMPUTE PATH's",
+           "numeric fidelity — the claim class a real-checkpoint run makes",
+           f"(BASELINE.md:55-57). Backend: {jax.default_backend()}.", ""]
+    tables = {}
+    for p in presets:
+        tables[p] = run_one(p, out)
+
     out += ["",
             "Reading: `q8_0` / `q8_0-int8dot` / `q8_0-kvint8` measure the three",
-            "Q8_0 compute paths' numeric fidelity against f32 on identical",
-            "weights (the BASELINE 'Q8_0 within ~0.01 ppl of FP16' claim class);",
-            "`q4_0` shows the 4-bit storage loss itself. The exact-int8 dot is",
+            "Q8_0 compute paths (the BASELINE 'Q8_0 within ~0.01 ppl of FP16'",
+            "claim class); `q4_0`/`q4_k` show 4-bit storage loss itself (the",
+            "q4_k encode is scripts' own single-pass quantizer — a llama.cpp-",
+            "encoded checkpoint can only be closer). The exact-int8 dot is",
             "bit-identical to llama.cpp's Q8_0 CPU path (tests/test_int8_matmul.py",
-            "vs Q8_0FloatTensor.java:70-121) and is exposed as `--impl int8`.",
+            "vs Q8_0FloatTensor.java:70-121), exposed as `--impl int8`.",
             ""]
 
     # Decision text DERIVED from the measured rows (not prose printed
     # regardless of the data — judge r2 weak #3), asserting the BASELINE
     # threshold classes. A regression that moves a delta past its threshold
     # flips the verdict and exits nonzero.
-    by = {r["variant"]: r for r in rows}
-    Q8_REL_MAX, Q4_REL_MAX = 0.01, 0.05          # BASELINE claim classes
-    ROWQ_REL_MAX = 0.02                          # --rowq serving format gate
-    q8_paths = [v for v in ("q8_0", "q8_0-int8dot", "q8_0-kvint8") if v in by]
-    q4_paths = [v for v in ("q4_0", "q4_0-pack4") if v in by]
-    rowq_paths = [v for v in ("q8_row", "q8_row-a8") if v in by]
-    q8_worst = max((abs(by[v]["rel"]) for v in q8_paths), default=0.0)
-    q4_worst = max((abs(by[v]["rel"]) for v in q4_paths), default=0.0)
-    rowq_worst = max((abs(by[v]["rel"]) for v in rowq_paths), default=0.0)
-    q8_ok, q4_ok = q8_worst <= Q8_REL_MAX, q4_worst <= Q4_REL_MAX
-    rowq_ok = rowq_worst <= ROWQ_REL_MAX
-    fused_vs_int8 = (abs(by["q8_0"]["rel"]) - abs(by["q8_0-int8dot"]["rel"])
-                     if "q8_0" in by and "q8_0-int8dot" in by else None)
-    out += [f"Verdict (derived from the rows above): worst Q8_0-path |rel ppl "
-            f"delta| = {q8_worst:.3%} ({'within' if q8_ok else 'EXCEEDS'} the "
-            f"{Q8_REL_MAX:.0%} gate); worst Q4_0-path = {q4_worst:.3%} "
-            f"({'within' if q4_ok else 'EXCEEDS'} the {Q4_REL_MAX:.0%} gate)."]
-    if rowq_paths:
-        out += [f"Worst --rowq path (q8_row serving format, incl. the w8a8 "
-                f"int8-MXU prefill dot) = {rowq_worst:.3%} "
-                f"({'within' if rowq_ok else 'EXCEEDS'} the {ROWQ_REL_MAX:.0%} "
-                "gate) — "
-                + ("the per-row requant + per-token activation quant stay in "
-                   "the Q8_0 fidelity class; --rowq is safe to serve."
-                   if rowq_ok else
-                   "row-requant loss is material at this geometry; keep "
-                   "--rowq opt-in and prefer the block-scale kernels.")]
-    if fused_vs_int8 is not None:
-        cmp = ("smaller than" if fused_vs_int8 < 0
-               else "within the same magnitude as" if fused_vs_int8 < Q8_REL_MAX / 2
-               else "LARGER than")
-        out += ["",
-                "Decision (SURVEY §7.3 'measure both, decide per-target'): the "
-                "fused bf16-dequant pallas path "
-                + ("stays" if q8_ok else "CANNOT stay") + " the serving default "
-                f"— its ppl delta ({by['q8_0']['rel']:+.3%}) is {cmp} exact-"
-                f"int8's ({by['q8_0-int8dot']['rel']:+.3%}); `--impl int8` "
-                "remains the numerics-parity mode for ppl comparisons against "
-                "llama.cpp numbers."]
-    out += ["",
-            f"_Generated by scripts/run_parity.py in {time.time()-t0:.0f}s; "
+    ok = True
+    for p, by in tables.items():
+        q8_paths = [v for v in ("q8_0", "q8_0-int8dot", "q8_0-kvint8") if v in by]
+        q4_paths = [v for v in ("q4_0", "q4_0-pack4", "q4_k", "q4_k-pack4")
+                    if v in by]
+        rowq_paths = [v for v in ("q8_row", "q8_row-a8") if v in by]
+        q8_worst = max((abs(by[v]["rel"]) for v in q8_paths), default=0.0)
+        q4_worst = max((abs(by[v]["rel"]) for v in q4_paths), default=0.0)
+        rowq_worst = max((abs(by[v]["rel"]) for v in rowq_paths), default=0.0)
+        q8_ok, q4_ok = q8_worst <= Q8_REL_MAX, q4_worst <= Q4_REL_MAX
+        rowq_ok = rowq_worst <= ROWQ_REL_MAX
+        ok = ok and q8_ok and q4_ok and rowq_ok
+        out += [f"Verdict `{p}` (derived from the rows): worst Q8_0-path "
+                f"|rel ppl delta| = {q8_worst:.3%} "
+                f"({'within' if q8_ok else 'EXCEEDS'} the {Q8_REL_MAX:.0%} "
+                f"gate); worst Q4-path = {q4_worst:.3%} "
+                f"({'within' if q4_ok else 'EXCEEDS'} the {Q4_REL_MAX:.0%} "
+                "gate)."]
+        if rowq_paths:
+            out += [f"Worst --rowq path on `{p}` (q8_row serving format incl. "
+                    f"the w8a8 int8-MXU prefill dot) = {rowq_worst:.3%} "
+                    f"({'within' if rowq_ok else 'EXCEEDS'} the "
+                    f"{ROWQ_REL_MAX:.0%} gate) — "
+                    + ("the per-row requant + per-token activation quant stay "
+                       "in the Q8_0 fidelity class; --rowq is safe to serve "
+                       "(bench.py serves it by default)."
+                       if rowq_ok else
+                       "row-requant loss is material at this geometry; keep "
+                       "--rowq opt-in and prefer the block-scale kernels.")]
+        if "q8_0" in by and "q8_0-int8dot" in by:
+            fused_vs_int8 = abs(by["q8_0"]["rel"]) - abs(by["q8_0-int8dot"]["rel"])
+            cmp = ("smaller than" if fused_vs_int8 < 0
+                   else "within the same magnitude as"
+                   if fused_vs_int8 < Q8_REL_MAX / 2 else "LARGER than")
+            out += ["",
+                    "Decision (SURVEY §7.3 'measure both, decide per-target'): "
+                    "the fused bf16-dequant pallas path "
+                    + ("stays" if q8_ok else "CANNOT stay")
+                    + " the serving default — its ppl delta "
+                    f"({by['q8_0']['rel']:+.3%}) is {cmp} exact-int8's "
+                    f"({by['q8_0-int8dot']['rel']:+.3%}); `--impl int8` "
+                    "remains the numerics-parity mode for ppl comparisons "
+                    "against llama.cpp numbers."]
+        out += [""]
+
+    out += [f"_Generated by scripts/run_parity.py; "
             "gate: tests/test_parity_gate.py._"]
     pathlib.Path("PARITY.md").write_text("\n".join(out) + "\n")
     print("\n".join(out))
-    print(json.dumps(rows))
-    return 0 if (q8_ok and q4_ok and rowq_ok) else 1
+    print(json.dumps({p: list(t.values()) for p, t in tables.items()}))
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":

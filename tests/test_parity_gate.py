@@ -30,7 +30,8 @@ SHAPES = {
     # MoE: routed top-k (no renorm) experts + always-on shared expert,
     # quantized expert stacks through the grouped kernels
     "qwen2-moe": dict(preset="qwen15-moe-a2.7b",
-                      variants=("f32", "q8_0", "q4_0", "q4_0-pack4"),
+                      variants=("f32", "q8_0", "q4_0", "q4_0-pack4",
+                                "q4_k", "q8_row"),
                       overrides=dict(n_layers=2, dim=128, hidden_dim=256,
                                      n_heads=4, n_kv_heads=4, head_dim=32,
                                      n_experts=8, n_experts_used=4,
@@ -85,6 +86,13 @@ def test_q4_bounded(shape_rows):
     # redundancy to absorb it); this bound only catches a broken codec or
     # kernel (which lands at ~vocab-entropy ppl, rel >> 1)
     assert abs(rows["q4_0"]["rel"]) < 0.6, (name, rows["q4_0"])
+    if "q4_k" in rows:
+        # native Q4_K has per-32 scale AND min: on random weights it must do
+        # no worse than Q4_0's symmetric quantization class
+        assert abs(rows["q4_k"]["rel"]) < 0.6, (name, rows["q4_k"])
+    if "q4_k-pack4" in rows:
+        a, b = rows["q4_k"]["ppl"], rows["q4_k-pack4"]["ppl"]
+        assert abs(a - b) / a < 1e-3, (name, a, b)  # pure storage transform
 
 
 def test_bf16_tracks_f32(shape_rows):
