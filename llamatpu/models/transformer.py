@@ -206,8 +206,13 @@ def _moe_ffn(cfg: ModelConfig, h, lw, impl, ep_mesh=None, slw=None, li=None):
     def one_token(hv, ws, ids):
         def one_expert(carry, ji):
             w_j, i_j = ji
-            gate = matmul(_index_qtensor(lw["gate_exps"], i_j), hv, impl)
-            up = matmul(_index_qtensor(lw["up_exps"], i_j), hv, impl)
+            if "gu_exps" in lw:  # fused gate+up stacks
+                g13 = matmul(_index_qtensor(lw["gu_exps"], i_j), hv, impl)
+                mh = g13.shape[-1] // 2
+                gate, up = g13[..., :mh], g13[..., mh:]
+            else:
+                gate = matmul(_index_qtensor(lw["gate_exps"], i_j), hv, impl)
+                up = matmul(_index_qtensor(lw["up_exps"], i_j), hv, impl)
             act = jax.nn.silu(gate.astype(jnp.float32)).astype(hv.dtype) * up
             down = matmul(_index_qtensor(lw["down_exps"], i_j), act, impl)
             return carry + w_j.astype(jnp.float32) * down.astype(jnp.float32), None

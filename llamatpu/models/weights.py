@@ -275,7 +275,8 @@ def rowq_convert_weights(weights: dict, experts: bool = True) -> dict:
     serving format. With experts=True (default) the MoE routed-expert stacks
     convert too (the grouped kernels have a rowq variant, ops/moe_grouped.py:
     scale-free expert streams, per-row scale folded into the output)."""
-    skip = set() if experts else {"gate_exps", "up_exps", "down_exps"}
+    skip = set() if experts else {"gate_exps", "up_exps", "gu_exps",
+                                  "down_exps"}
     converted = 0
     layers = {}
     for k, v in weights["layers"].items():
@@ -350,6 +351,13 @@ def fuse_layer_weights(cfg, weights: dict) -> dict:
     if all(t is not None for t in sh) and _fusable(sh):
         layers["shared_g13"] = _concat_rows(sh)
         del layers["shared_gate"], layers["shared_up"]
+    # routed expert gate+up stacks fuse the same way ([L, E, O, I] row
+    # concat): halves the grouped-kernel calls per MoE layer and doubles the
+    # per-call weight stream (decode is per-call pipeline-fill-bound, PERF.md)
+    gu = [layers.get(k) for k in ("gate_exps", "up_exps")]
+    if all(t is not None for t in gu) and _fusable(gu):
+        layers["gu_exps"] = _concat_rows(gu)
+        del layers["gate_exps"], layers["up_exps"]
     out = dict(weights)
     out["layers"] = layers
     return out

@@ -72,7 +72,7 @@ def _tail_kernel(li_ref, attn_ref, x_ref, nw_ref, wo_ref, so_ref,
             x2 = x2_ref[:]
             ss = jnp.mean(x2 * x2, axis=-1, keepdims=True) + eps
             h_ref[:] = (x2 * jax.lax.rsqrt(ss)
-                        * nw_ref[0][None, :].astype(jnp.float32)
+                        * nw_ref[0].astype(jnp.float32)  # [1, d] broadcast
                         ).astype(dot_dtype)
 
         j = s - nwo
@@ -101,9 +101,10 @@ def _tail_kernel(li_ref, attn_ref, x_ref, nw_ref, wo_ref, so_ref,
         o_ref[:] = x2_ref[:, pl.ds(j * to2, to2)] + y2
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "rs", "interpret"))
+@functools.partial(jax.jit, static_argnames=("eps", "rs", "interpret",
+                                             "towo", "to13", "to2"))
 def _tail_2d(wo_qs, wo_s, w13_qs, w13_s, w2_qs, w2_s, nw, attn2, x2, li,
-             eps, rs, interpret=False):
+             eps, rs, towo, to13, to2, interpret=False):
     L, d, hdim = wo_qs.shape
     _, o13, _ = w13_qs.shape
     _, d2, f = w2_qs.shape
@@ -112,9 +113,6 @@ def _tail_2d(wo_qs, wo_s, w13_qs, w13_s, w2_qs, w2_s, nw, attn2, x2, li,
     if tp != t:
         attn2 = jnp.pad(attn2, ((0, tp - t), (0, 0)))
         x2 = jnp.pad(x2, ((0, tp - t), (0, 0)))
-    towo = _pick_to(d, hdim)
-    to13 = _pick_to(o13, d)
-    to2 = _pick_to(d2, f)
     nwo, n13, n2 = d // towo, o13 // to13, d2 // to2
     dot_dtype = jnp.float32 if x2.dtype == jnp.float32 else jnp.bfloat16
     li_arr = jnp.asarray(li, jnp.int32).reshape(1)
@@ -125,7 +123,10 @@ def _tail_2d(wo_qs, wo_s, w13_qs, w13_s, w2_qs, w2_s, nw, attn2, x2, li,
         in_specs=[
             pl.BlockSpec((tp, hdim), lambda s, li_: (0, 0)),
             pl.BlockSpec((tp, d), lambda s, li_: (0, 0)),
-            pl.BlockSpec((1, d), lambda s, li_: (li_[0], 0)),
+            # norms ship as [L, 1, D]: a (1, D) block of [L, D] violates the
+            # Mosaic (8k, 128k)-or-full rule on the sublane dim (found on
+            # chip); (1, 1, D) blocks of [L, 1, D] are legal (1 == full dim)
+            pl.BlockSpec((1, 1, d), lambda s, li_: (li_[0], 0, 0)),
             pl.BlockSpec((1, towo, hdim),
                          lambda s, li_: (li_[0], jnp.minimum(s, nwo - 1), 0)),
             pl.BlockSpec((1, towo, 1),
@@ -163,8 +164,32 @@ def _tail_2d(wo_qs, wo_s, w13_qs, w13_s, w2_qs, w2_s, nw, attn2, x2, li,
                             + tp * (hdim + d) * 2 + tp * d2 * 4),
             transcendentals=tp * f,
         ),
-    )(li_arr, attn2, x2, nw, wo_qs, wo_s, w13_qs, w13_s, w2_qs, w2_s)
+    )(li_arr, attn2, x2, nw.reshape(nw.shape[0], 1, d),
+      wo_qs, wo_s, w13_qs, w13_s, w2_qs, w2_s)
     return y[:t] if tp != t else y
+
+
+def _fit_tail_tiles(t, d, hdim, o13, f, xbytes):
+    """(towo, to13, to2) with all three phases' double-buffered blocks +
+    scratches inside the VMEM budget, or None. Starts every stream at the
+    2.4 MB DMA sweet spot and shrinks asymmetrically — wo first (it carries
+    the fewest bytes/layer, so its block size matters least for the blended
+    stream rate), then w2, then w13."""
+    towo, to13, to2 = _pick_to(d, hdim), _pick_to(o13, d), _pick_to(d2_ := d, f)
+    if not (towo and to13 and to2):
+        return None
+    tp = -(-t // 8) * 8
+    order = ["wo", "w2", "w13"]
+    cur = {"wo": towo, "w13": to13, "w2": to2}
+    while _tail_vmem(tp, d, hdim, o13, f, cur["wo"], cur["w13"], cur["w2"],
+                     xbytes, xbytes) > _VMEM_BUDGET:
+        for name in order:
+            if cur[name] > 128 and (cur[name] // 2) % 128 == 0:
+                cur[name] //= 2
+                break
+        else:
+            return None  # everything at minimum and still over budget
+    return cur["wo"], cur["w13"], cur["w2"]
 
 
 def _tail_vmem(tp, d, hdim, o13, f, towo, to13, to2, xbytes, act_bytes):
@@ -202,16 +227,15 @@ def layer_tail_fused_rowq(wo: QTensor, w13: QTensor, w2: QTensor, ffn_norm,
     if not (d13 == d == d2 and o13 == 2 * f and x.shape[-1] == d
             and attn.shape[-1] == hdim):
         return None
-    towo, to13, to2 = _pick_to(d, hdim), _pick_to(o13, d), _pick_to(d2, f)
-    if not (towo and to13 and to2):
+    tiles = _fit_tail_tiles(t, d, hdim, o13, f,
+                            4 if x.dtype == jnp.float32 else 2)
+    if tiles is None:
         return None
-    tp = -(-t // 8) * 8
-    xbytes = 4 if x.dtype == jnp.float32 else 2
-    if _tail_vmem(tp, d, hdim, o13, f, towo, to13, to2, xbytes, xbytes) > _VMEM_BUDGET:
-        return None
+    towo, to13, to2 = tiles
     y = _tail_2d(wo.qs, wo.scales, w13.qs, w13.scales, w2.qs, w2.scales,
                  ffn_norm, attn.reshape(t, hdim), x.reshape(t, d), li,
-                 float(eps), float(residual_scale), interpret=interpret)
+                 float(eps), float(residual_scale), towo, to13, to2,
+                 interpret=interpret)
     return y.reshape(*lead, d).astype(x.dtype)
 
 
@@ -225,7 +249,7 @@ def _qkv_kernel(li_ref, x_ref, nw_ref, w_ref, s_ref, o_ref, h_ref, *,
         x = x_ref[:].astype(jnp.float32)
         ss = jnp.mean(x * x, axis=-1, keepdims=True) + eps
         h_ref[:] = (x * jax.lax.rsqrt(ss)
-                    * nw_ref[0][None, :].astype(jnp.float32)).astype(dot_dtype)
+                    * nw_ref[0].astype(jnp.float32)).astype(dot_dtype)
 
     y = jax.lax.dot_general(
         h_ref[:], w_ref[0].astype(dot_dtype),
@@ -250,7 +274,8 @@ def _qkv_2d(qs, scales, nw, x2, li, eps, interpret=False):
         grid=(n,),
         in_specs=[
             pl.BlockSpec((tp, d), lambda s, li_: (0, 0)),
-            pl.BlockSpec((1, d), lambda s, li_: (li_[0], 0)),
+            # [L, 1, D] norm (see _tail_2d note on the Mosaic sublane rule)
+            pl.BlockSpec((1, 1, d), lambda s, li_: (li_[0], 0, 0)),
             pl.BlockSpec((1, to, d), lambda s, li_: (li_[0], s, 0)),
             pl.BlockSpec((1, to, 1), lambda s, li_: (li_[0], s, 0)),
         ],
@@ -266,7 +291,7 @@ def _qkv_2d(qs, scales, nw, x2, li, eps, interpret=False):
             flops=2 * tp * o * d,
             bytes_accessed=o * d + tp * d * 2 + tp * o * 4,
             transcendentals=0),
-    )(li_arr, x2, nw, qs, scales)
+    )(li_arr, x2, nw.reshape(nw.shape[0], 1, d), qs, scales)
     return y[:t] if tp != t else y
 
 

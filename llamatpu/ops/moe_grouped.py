@@ -411,11 +411,18 @@ def grouped_ffn(lw, hf, top_w, row_token, row_src, tile_expert, tm: int,
             return w, li
         return lw[key], None
 
-    wg, lg = pick("gate_exps")
-    wu, lu = pick("up_exps")
+    keys = lw if slw is None else slw
+    if "gu_exps" in keys:  # fused gate+up stacks (weights.fuse_layer_weights)
+        wgu, lg = pick("gu_exps")
+        g13 = unpad(grouped_matmul(wgu, x_sorted, tile_expert, tm, li=lg), wgu)
+        mh = g13.shape[-1] // 2
+        gate, up = g13[:, :mh], g13[:, mh:]
+    else:
+        wg, lg = pick("gate_exps")
+        wu, lu = pick("up_exps")
+        gate = unpad(grouped_matmul(wg, x_sorted, tile_expert, tm, li=lg), wg)
+        up = unpad(grouped_matmul(wu, x_sorted, tile_expert, tm, li=lu), wu)
     wd_, ld = pick("down_exps")
-    gate = unpad(grouped_matmul(wg, x_sorted, tile_expert, tm, li=lg), wg)
-    up = unpad(grouped_matmul(wu, x_sorted, tile_expert, tm, li=lu), wu)
     act = (jax.nn.silu(gate) * up).astype(hf.dtype)                # [Mp, MH]
     down = unpad(grouped_matmul(wd_, act, tile_expert, tm, li=ld), wd_)  # [Mp, D]
 

@@ -124,3 +124,39 @@ def test_grouped_decode_shapes_match_scan(tmp_path, n_tokens):
     got = _moe_ffn(cfg, h, lw, "pallas")   # grouped kernel, m-fastest grid
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_gu_exps_fusion_matches_unfused():
+    """Fused gate+up expert stacks (weights.fuse_layer_weights gu_exps):
+    grouped pallas and xla scan paths both split the fused output and must
+    match the UNFUSED forward exactly (row concat is bit-exact)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from llamatpu.models.synthetic import build_synthetic_model
+    from llamatpu.models.transformer import forward_tokens, init_cache
+    from llamatpu.models.weights import fuse_layer_weights
+
+    # 128-divisible expert rows so gate/up FUSE (no logical_out padding)
+    model = build_synthetic_model(
+        "qwen15-moe-a2.7b", quant="q8_0", dtype="f32", seed=5,
+        overrides=dict(n_layers=2, dim=128, hidden_dim=256, n_heads=4,
+                       n_kv_heads=4, head_dim=32, n_experts=4,
+                       n_experts_used=2, moe_hidden_dim=128, vocab_size=256,
+                       context_length=64))
+    fused = fuse_layer_weights(model.cfg, model.weights)
+    assert "gu_exps" in fused["layers"], "geometry must be fusable"
+    toks = jnp.array([[3, 17, 42]], jnp.int32)
+    outs = {}
+    for name, w, impl in (("unfused-xla", model.weights, "xla"),
+                          ("fused-xla", fused, "xla"),
+                          ("fused-pallas", fused, "pallas")):
+        cache = init_cache(model.cfg, 1, jnp.float32)
+        logits, _ = forward_tokens(model.cfg, w, toks, cache, 0, impl=impl,
+                                   last_logit_only=True)
+        outs[name] = np.asarray(logits[0])
+    np.testing.assert_allclose(outs["fused-xla"], outs["unfused-xla"],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(outs["fused-pallas"], outs["unfused-xla"],
+                               rtol=3e-4, atol=3e-4)
