@@ -186,9 +186,30 @@ def _moe_ffn(cfg: ModelConfig, h, lw, impl, ep_mesh=None, slw=None, li=None):
     probs = jax.nn.softmax(router_logits, axis=-1)
     top_w, top_i = jax.lax.top_k(probs, cfg.n_experts_used)  # no renorm
 
+    # folded shared expert (weights.fold_shared_expert): the expert stacks
+    # carry S extra VIRTUAL experts (the shared expert chunked to routed
+    # geometry); every token routes to all S with the sigmoid shared-gate
+    # weight, and the explicit shared-expert matmuls disappear
+    gu = lw.get("gu_exps", lw.get("gate_exps"))
+    e_have = gu.qs.shape[0] if isinstance(gu, QTensor) else gu.shape[0]
+    folded = e_have > cfg.n_experts and "shared_gate_inp" in lw
+    n_experts = e_have
+    if folded:
+        s = e_have - cfg.n_experts
+        gate_score = jnp.einsum("nd,d->n", hf.astype(jnp.float32),
+                                lw["shared_gate_inp"].astype(jnp.float32))
+        shared_w = jax.nn.sigmoid(gate_score)  # [N]
+        vir = jnp.arange(cfg.n_experts, e_have, dtype=top_i.dtype)
+        top_i = jnp.concatenate(
+            [top_i, jnp.broadcast_to(vir[None], (hf.shape[0], s))], axis=1)
+        top_w = jnp.concatenate(
+            [top_w, jnp.broadcast_to(shared_w[:, None].astype(top_w.dtype),
+                                     (hf.shape[0], s))], axis=1)
+
     if ep_mesh is not None:
         from llamatpu.parallel.expert import moe_ffn_expert_parallel
 
+        assert not folded, "fold_shared_expert is a single-device layout"
         tm = 128 if b * t * cfg.n_experts_used >= 1024 else 8
         routed = moe_ffn_expert_parallel(cfg, hf, top_w, top_i, lw, ep_mesh,
                                          tm=tm).astype(h.dtype)
@@ -197,10 +218,13 @@ def _moe_ffn(cfg: ModelConfig, h, lw, impl, ep_mesh=None, slw=None, li=None):
     if impl == "pallas":
         from llamatpu.ops.moe_grouped import moe_ffn_grouped
 
-        nk = b * t * cfg.n_experts_used
+        nk = b * t * top_i.shape[1]
         tm = 128 if nk >= 1024 else (8 if nk <= 64 else 32)
         routed = moe_ffn_grouped(cfg, hf, top_w, top_i, lw, tm=tm,
-                                 slw=slw, li=li).astype(h.dtype)
+                                 slw=slw, li=li,
+                                 n_experts=n_experts).astype(h.dtype)
+        if folded:  # shared expert already inside the routed combine
+            return routed.reshape(b, t, d)
         return _moe_shared(cfg, h, hf, routed, lw, impl, slw, li)
 
     def one_token(hv, ws, ids):
@@ -221,6 +245,8 @@ def _moe_ffn(cfg: ModelConfig, h, lw, impl, ep_mesh=None, slw=None, li=None):
         return out
 
     routed = jax.vmap(one_token)(hf, top_w, top_i).astype(h.dtype)
+    if folded:  # shared expert rides the extended routing (exact)
+        return routed.reshape(b, t, d)
     return _moe_shared(cfg, h, hf, routed, lw, impl, slw, li)
 
 

@@ -326,6 +326,106 @@ def _fusable(ts: list[QTensor]) -> bool:
             and len({t.qs.shape[-1] for t in ts}) == 1)
 
 
+def _unpack4_columns_np(qp: np.ndarray) -> np.ndarray:
+    """numpy inverse of pack4_columns (packed nibbles -> interleaved int8)."""
+    p = np.asarray(qp).astype(np.int32)
+    lo = (p << 28) >> 28
+    hi = p >> 4
+    return np.concatenate([lo, hi], axis=-1).astype(np.int8)
+
+
+def _to_canonical_np(w: QTensor) -> tuple[np.ndarray, str]:
+    """(canonical int8 qs, original layout) for a prepped QTensor (numpy)."""
+    qs = np.asarray(w.qs)
+    if w.layout == "packed4":
+        qs = deinterleave_columns(_unpack4_columns_np(qs))
+    elif w.layout == "interleaved":
+        qs = deinterleave_columns(qs)
+    return qs, w.layout
+
+
+def _from_canonical_np(qs: np.ndarray, layout: str) -> np.ndarray:
+    if layout == "canonical":
+        return qs
+    il = interleave_columns(qs)
+    return pack4_columns(il) if layout == "packed4" else il
+
+
+def fold_shared_expert(cfg, layers: dict) -> dict:
+    """Fold the always-on shared expert into the routed expert stacks as
+    S = hidden_dim / moe_hidden_dim VIRTUAL experts (Qwen1.5-MoE: 5632/1408
+    = 4), each assigned to every token with the sigmoid shared-gate weight.
+
+    Exact by construction: silu/mul are elementwise (row partition of
+    gate/up commutes), and the down projection's partial outputs over
+    column chunks sum — so S chunk-experts, each weighted shared_w, equal
+    shared_w * shared_down(act) (InferenceCore.java:366-415 semantics).
+
+    Why: MoE decode is per-call pipeline-fill-bound; folding removes the two
+    shared-expert pallas calls per layer AND doubles the grouped call's
+    weight stream (shared bytes ~= active routed bytes at Qwen1.5 geometry).
+    Down-projection chunks are cut in CANONICAL column space (the interleave
+    permutation is global over the in-features, so the prepped tensor is
+    de/re-interleaved per chunk — numpy, load-time). The per-token routing
+    extension happens in transformer._moe_ffn (pallas grouped path only; the
+    xla scan path keeps the explicit shared-expert reference semantics)."""
+    need = ("gate_exps", "up_exps", "down_exps",
+            "shared_gate", "shared_up", "shared_down")
+    if not all(k in layers for k in need):
+        return layers
+    mh = layers["gate_exps"].qs.shape[-2] if isinstance(layers["gate_exps"], QTensor) \
+        else layers["gate_exps"].shape[-2]
+    sh = layers["shared_gate"].qs.shape[-2] if isinstance(layers["shared_gate"], QTensor) \
+        else layers["shared_gate"].shape[-2]
+    if mh == 0 or sh % mh:
+        return layers
+    s = sh // mh
+    ts = [layers[k] for k in need]
+    if not all(isinstance(t, QTensor) for t in ts):
+        return layers
+    if len({t.kind for t in ts}) != 1 or len({t.layout for t in ts}) != 1 \
+            or any(t.logical_out for t in ts):
+        return layers
+
+    def chunk_rows(t: QTensor) -> QTensor:
+        """[L, S*MH, D] -> [L, S, MH, D] (rows are never interleaved)."""
+        L = t.qs.shape[0]
+        qs = np.asarray(t.qs).reshape(L, s, mh, t.qs.shape[-1])
+        sc = np.asarray(t.scales).reshape(L, s, mh, t.scales.shape[-1])
+        offs = (None if t.offs is None
+                else np.asarray(t.offs).reshape(L, s, mh, t.offs.shape[-1]))
+        return QTensor(qs, sc, t.kind, 0, t.layout, offs=offs)
+
+    def chunk_cols(t: QTensor) -> QTensor:
+        """[L, D, S*MH] -> [L, S, D, MH] in canonical column space."""
+        L, d = t.qs.shape[0], t.qs.shape[1]
+        qs, layout = _to_canonical_np(t)
+        qs = qs.reshape(L, d, s, mh).transpose(0, 2, 1, 3)
+        qs = _from_canonical_np(np.ascontiguousarray(qs), layout)
+        nb = t.scales.shape[-1] // s
+        sc = np.asarray(t.scales).reshape(L, d, s, nb).transpose(0, 2, 1, 3)
+        offs = (None if t.offs is None else
+                np.asarray(t.offs).reshape(L, d, s, nb).transpose(0, 2, 1, 3))
+        return QTensor(np.ascontiguousarray(qs), np.ascontiguousarray(sc),
+                       t.kind, 0, t.layout,
+                       offs=None if offs is None else np.ascontiguousarray(offs))
+
+    def cat(stack: QTensor, extra: QTensor) -> QTensor:
+        offs = (None if stack.offs is None else
+                np.concatenate([np.asarray(stack.offs), np.asarray(extra.offs)], axis=1))
+        return QTensor(
+            np.concatenate([np.asarray(stack.qs), np.asarray(extra.qs)], axis=1),
+            np.concatenate([np.asarray(stack.scales), np.asarray(extra.scales)], axis=1),
+            stack.kind, 0, stack.layout, offs=offs)
+
+    out = dict(layers)
+    out["gate_exps"] = cat(layers["gate_exps"], chunk_rows(layers["shared_gate"]))
+    out["up_exps"] = cat(layers["up_exps"], chunk_rows(layers["shared_up"]))
+    out["down_exps"] = cat(layers["down_exps"], chunk_cols(layers["shared_down"]))
+    del out["shared_gate"], out["shared_up"], out["shared_down"]
+    return out
+
+
 def fuse_layer_weights(cfg, weights: dict) -> dict:
     """Fuse per-layer projections sharing the same input into single wider
     matmuls: wq+wk+wv -> wqkv and w1+w3 -> w13 (rows are independent, so a
@@ -339,6 +439,11 @@ def fuse_layer_weights(cfg, weights: dict) -> dict:
     Only applies to unsharded serving — tensor-parallel layouts shard q/k/v
     per head and keep the unfused names (parallel/shard.py)."""
     layers = dict(weights["layers"])
+    if getattr(cfg, "is_moe", False):
+        # fold the shared expert into the routed stacks BEFORE fusing, so the
+        # gate/up fusion below fuses the EXTENDED stacks and the shared_g13
+        # fusion no-ops (its keys are consumed)
+        layers = fold_shared_expert(cfg, layers)
     qkv = [layers.get(k) for k in ("wq", "wk", "wv")]
     if all(t is not None for t in qkv) and _fusable(qkv):
         layers["wqkv"] = _concat_rows(qkv)

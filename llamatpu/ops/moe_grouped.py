@@ -53,6 +53,19 @@ def sort_by_expert(top_i, n_experts: int, tm: int):
     dominant cost of MoE decode in the earlier formulation."""
     n, k = top_i.shape
     nk = n * k
+    if n == 1:
+        # DECODE fast path: with one token, "expert-contiguous tile-aligned
+        # rows" is just one tm-row tile per assignment (top_k indices are
+        # distinct) — no argsort/searchsorted/cumsum chain. That chain is
+        # pure launch overhead at N=1 and runs once per LAYER per token
+        # (measured: the routed FFN phase at 168 GB/s while its weight
+        # streams alone run 400-650 — the glue was the gap).
+        r = jnp.arange(k * tm, dtype=jnp.int32)
+        first = (r % tm) == 0
+        row_token = jnp.where(first, 0, n).astype(jnp.int32)
+        row_src = jnp.where(first, r // tm, nk).astype(jnp.int32)
+        tile_expert = top_i[0].astype(jnp.int32)
+        return row_token, row_src, tile_expert
     mp = -(-(nk + min(nk, n_experts) * (tm - 1)) // tm) * tm
     eid = top_i.reshape(nk).astype(jnp.int32)
 
@@ -435,11 +448,14 @@ def grouped_ffn(lw, hf, top_w, row_token, row_src, tile_expert, tm: int,
                                preferred_element_type=jnp.float32)
 
 
-def moe_ffn_grouped(cfg, hf, top_w, top_i, lw, tm: int = 128, slw=None, li=None):
+def moe_ffn_grouped(cfg, hf, top_w, top_i, lw, tm: int = 128, slw=None, li=None,
+                    n_experts: int | None = None):
     """Routed-expert FFN over N tokens via grouped matmuls. hf: [N, D];
     top_w/top_i: [N, k]. Returns routed output [N, D] f32 (shared expert is
-    handled by the caller). Semantics identical to the per-token scan path
-    (top-k without renorm)."""
-    row_token, row_src, tile_expert = sort_by_expert(top_i, cfg.n_experts, tm)
+    handled by the caller — or rides along as virtual experts when the stacks
+    are folded, n_experts > cfg.n_experts). Semantics identical to the
+    per-token scan path (top-k without renorm)."""
+    row_token, row_src, tile_expert = sort_by_expert(
+        top_i, n_experts or cfg.n_experts, tm)
     return grouped_ffn(lw, hf, top_w, row_token, row_src, tile_expert, tm,
                        slw=slw, li=li)

@@ -160,3 +160,41 @@ def test_gu_exps_fusion_matches_unfused():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(outs["fused-pallas"], outs["unfused-xla"],
                                rtol=3e-4, atol=3e-4)
+
+
+def test_fold_shared_expert_matches_unfolded():
+    """Shared expert folded into the routed stacks as virtual experts
+    (weights.fold_shared_expert) must reproduce the explicit shared-expert
+    forward exactly, on both impls."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from llamatpu.models.synthetic import build_synthetic_model
+    from llamatpu.models.transformer import forward_tokens, init_cache
+    from llamatpu.models.weights import fold_shared_expert
+
+    # hidden_dim = 2 x moe_hidden_dim -> shared expert folds into S=2 chunks
+    model = build_synthetic_model(
+        "qwen15-moe-a2.7b", quant="q8_0", dtype="f32", seed=9,
+        overrides=dict(n_layers=2, dim=128, hidden_dim=256, n_heads=4,
+                       n_kv_heads=4, head_dim=32, n_experts=4,
+                       n_experts_used=2, moe_hidden_dim=128, vocab_size=256,
+                       context_length=64))
+    folded = dict(model.weights)
+    folded["layers"] = fold_shared_expert(model.cfg, dict(model.weights["layers"]))
+    assert folded["layers"]["gate_exps"].qs.shape[1] == 4 + 2  # E + S
+    assert "shared_gate" not in folded["layers"]
+    toks = jnp.array([[3, 17, 42]], jnp.int32)
+    outs = {}
+    for name, w, impl in (("ref", model.weights, "xla"),
+                          ("folded-xla", folded, "xla"),
+                          ("folded-pallas", folded, "pallas")):
+        cache = init_cache(model.cfg, 1, jnp.float32)
+        logits, _ = forward_tokens(model.cfg, w, toks, cache, 0, impl=impl,
+                                   last_logit_only=True)
+        outs[name] = np.asarray(logits[0])
+    np.testing.assert_allclose(outs["folded-xla"], outs["ref"],
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(outs["folded-pallas"], outs["ref"],
+                               rtol=3e-4, atol=3e-4)
