@@ -101,6 +101,134 @@ def _tail_kernel(li_ref, attn_ref, x_ref, nw_ref, wo_ref, so_ref,
         o_ref[:] = x2_ref[:, pl.ds(j * to2, to2)] + y2
 
 
+# w2 phase layout A/B: False = out-tiled short-fat blocks [to2, F];
+# True = contraction-tiled tall blocks [D, tf] (the head's 740 GB/s shape),
+# accumulating partials in scratch. Measured on chip via scripts/sweep_tail.py.
+_W2_KTILE = False
+
+
+def _tail_kernel_kt(li_ref, attn_ref, x_ref, nw_ref, wo_ref, so_ref,
+                    w13_ref, s13_ref, w2_ref, s2_ref, o_ref,
+                    x2_ref, h_ref, g13_ref, act_ref, acc_ref, *,
+                    nwo, towo, n13, to13, n2k, tf, f, d, eps, rs, dot_dtype):
+    """Variant B: w2 streams [d, tf] contraction tiles; partial dots
+    accumulate in acc scratch; one (tp, d) output write at the last step."""
+    s = pl.program_id(0)
+
+    @pl.when(s < nwo)
+    def _():
+        y = jax.lax.dot_general(
+            attn_ref[:].astype(dot_dtype), wo_ref[0].astype(dot_dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        y = y * so_ref[0][:, 0][None, :]
+        if rs != 1.0:
+            y = y * rs
+        x2_ref[:, pl.ds(s * towo, towo)] = (
+            x_ref[:, pl.ds(s * towo, towo)].astype(jnp.float32) + y)
+
+    @pl.when((s >= nwo) & (s < nwo + n13))
+    def _():
+        @pl.when(s == nwo)
+        def _():
+            x2 = x2_ref[:]
+            ss = jnp.mean(x2 * x2, axis=-1, keepdims=True) + eps
+            h_ref[:] = (x2 * jax.lax.rsqrt(ss)
+                        * nw_ref[0].astype(jnp.float32)).astype(dot_dtype)
+
+        j = s - nwo
+        y = jax.lax.dot_general(
+            h_ref[:], w13_ref[0].astype(dot_dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        g13_ref[:, pl.ds(j * to13, to13)] = y * s13_ref[0][:, 0][None, :]
+
+    @pl.when(s >= nwo + n13)
+    def _():
+        @pl.when(s == nwo + n13)
+        def _():
+            gate = g13_ref[:, :f]
+            up = g13_ref[:, f:]
+            act_ref[:] = (gate * jax.nn.sigmoid(gate) * up).astype(dot_dtype)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        j = s - nwo - n13
+        acc_ref[:] += jax.lax.dot_general(
+            act_ref[:, pl.ds(j * tf, tf)], w2_ref[0].astype(dot_dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        @pl.when(s == nwo + n13 + n2k - 1)
+        def _():
+            y2 = acc_ref[:] * s2_ref[0][:, 0][None, :]
+            if rs != 1.0:
+                y2 = y2 * rs
+            o_ref[:] = x2_ref[:] + y2
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "rs", "interpret",
+                                             "towo", "to13", "tf"))
+def _tail_2d_kt(wo_qs, wo_s, w13_qs, w13_s, w2_qs, w2_s, nw, attn2, x2, li,
+                eps, rs, towo, to13, tf, interpret=False):
+    L, d, hdim = wo_qs.shape
+    _, o13, _ = w13_qs.shape
+    _, d2, f = w2_qs.shape
+    t = x2.shape[0]
+    tp = -(-t // 8) * 8
+    if tp != t:
+        attn2 = jnp.pad(attn2, ((0, tp - t), (0, 0)))
+        x2 = jnp.pad(x2, ((0, tp - t), (0, 0)))
+    nwo, n13, n2k = d // towo, o13 // to13, f // tf
+    dot_dtype = jnp.float32 if x2.dtype == jnp.float32 else jnp.bfloat16
+    li_arr = jnp.asarray(li, jnp.int32).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nwo + n13 + n2k,),
+        in_specs=[
+            pl.BlockSpec((tp, hdim), lambda s, li_: (0, 0)),
+            pl.BlockSpec((tp, d), lambda s, li_: (0, 0)),
+            pl.BlockSpec((1, 1, d), lambda s, li_: (li_[0], 0, 0)),
+            pl.BlockSpec((1, towo, hdim),
+                         lambda s, li_: (li_[0], jnp.minimum(s, nwo - 1), 0)),
+            pl.BlockSpec((1, towo, 1),
+                         lambda s, li_: (li_[0], jnp.minimum(s, nwo - 1), 0)),
+            pl.BlockSpec((1, to13, d),
+                         lambda s, li_: (li_[0], jnp.clip(s - nwo, 0, n13 - 1), 0)),
+            pl.BlockSpec((1, to13, 1),
+                         lambda s, li_: (li_[0], jnp.clip(s - nwo, 0, n13 - 1), 0)),
+            pl.BlockSpec((1, d2, tf),
+                         lambda s, li_: (li_[0], 0,
+                                         jnp.clip(s - nwo - n13, 0, n2k - 1))),
+            pl.BlockSpec((1, d2, 1), lambda s, li_: (li_[0], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tp, d2), lambda s, li_: (0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((tp, d), jnp.float32),      # x2
+            pltpu.VMEM((tp, d), dot_dtype),        # h
+            pltpu.VMEM((tp, o13), jnp.float32),    # g13
+            pltpu.VMEM((tp, f), dot_dtype),        # act
+            pltpu.VMEM((tp, d2), jnp.float32),     # acc (w2 partials)
+        ],
+    )
+    y = pl.pallas_call(
+        functools.partial(_tail_kernel_kt, nwo=nwo, towo=towo, n13=n13,
+                          to13=to13, n2k=n2k, tf=tf, f=f, d=d, eps=eps, rs=rs,
+                          dot_dtype=dot_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((tp, d2), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * tp * (d * hdim + o13 * d + d2 * f),
+            bytes_accessed=(d * hdim + o13 * d + d2 * f
+                            + tp * (hdim + d) * 2 + tp * d2 * 4),
+            transcendentals=tp * f,
+        ),
+    )(li_arr, attn2, x2, nw.reshape(nw.shape[0], 1, d),
+      wo_qs, wo_s, w13_qs, w13_s, w2_qs, w2_s)
+    return y[:t] if tp != t else y
+
+
 @functools.partial(jax.jit, static_argnames=("eps", "rs", "interpret",
                                              "towo", "to13", "to2"))
 def _tail_2d(wo_qs, wo_s, w13_qs, w13_s, w2_qs, w2_s, nw, attn2, x2, li,
@@ -192,6 +320,38 @@ def _fit_tail_tiles(t, d, hdim, o13, f, xbytes):
     return cur["wo"], cur["w13"], cur["w2"]
 
 
+def _fit_tail_tiles_kt(t, d, hdim, o13, f, xbytes):
+    """(towo, to13, tf) for the k-tiled w2 variant, or None."""
+    def pick_tf():
+        for c in (1024, 512, 256, 128):
+            if f % c == 0 and d * c <= _BLOCK_BYTES:
+                return c
+        return 0
+
+    towo, to13, tf = _pick_to(d, hdim), _pick_to(o13, d), pick_tf()
+    if not (towo and to13 and tf):
+        return None
+    tp = -(-t // 8) * 8
+
+    def need(towo_, to13_, tf_):
+        return (_tail_vmem(tp, d, hdim, o13, f, towo_, to13_, 128, xbytes,
+                           xbytes)
+                - 2 * (128 * f + 128 * 4)          # out-tiled w2 blocks
+                + 2 * (d * tf_ + d * 4)            # k-tiled w2 blocks
+                + tp * d * 4)                      # acc scratch
+
+    order = ["wo", "w2", "w13"]
+    cur = {"wo": towo, "w13": to13, "w2": tf}
+    while need(cur["wo"], cur["w13"], cur["w2"]) > _VMEM_BUDGET:
+        for name in order:
+            if cur[name] > 128 and (cur[name] // 2) % 128 == 0:
+                cur[name] //= 2
+                break
+        else:
+            return None
+    return cur["wo"], cur["w13"], cur["w2"]
+
+
 def _tail_vmem(tp, d, hdim, o13, f, towo, to13, to2, xbytes, act_bytes):
     return (tp * hdim * xbytes + tp * d * xbytes          # attn + x blocks
             + tp * d * 4 + tp * d * act_bytes             # x2 + h scratch
@@ -227,8 +387,18 @@ def layer_tail_fused_rowq(wo: QTensor, w13: QTensor, w2: QTensor, ffn_norm,
     if not (d13 == d == d2 and o13 == 2 * f and x.shape[-1] == d
             and attn.shape[-1] == hdim):
         return None
-    tiles = _fit_tail_tiles(t, d, hdim, o13, f,
-                            4 if x.dtype == jnp.float32 else 2)
+    xbytes = 4 if x.dtype == jnp.float32 else 2
+    if _W2_KTILE:
+        kt = _fit_tail_tiles_kt(t, d, hdim, o13, f, xbytes)
+        if kt is not None:
+            towo, to13, tf = kt
+            y = _tail_2d_kt(wo.qs, wo.scales, w13.qs, w13.scales, w2.qs,
+                            w2.scales, ffn_norm, attn.reshape(t, hdim),
+                            x.reshape(t, d), li, float(eps),
+                            float(residual_scale), towo, to13, tf,
+                            interpret=interpret)
+            return y.reshape(*lead, d).astype(x.dtype)
+    tiles = _fit_tail_tiles(t, d, hdim, o13, f, xbytes)
     if tiles is None:
         return None
     towo, to13, to2 = tiles

@@ -153,3 +153,28 @@ def test_forward_uses_megakernel_and_matches_xla():
                                rtol=5e-4, atol=5e-4)
     np.testing.assert_allclose(outs["pallas"][1], outs["xla"][1],
                                rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.parametrize("t,rs", [(1, 1.0), (5, 0.5)])
+def test_tail_ktile_variant_matches_chain(ws, t, rs):
+    """Variant B (w2 contraction-tiled [D, tf] blocks, partials in scratch)
+    must match the same reference chain."""
+    import llamatpu.ops.layer_fused as lf
+
+    rng = np.random.default_rng(t + 100)
+    attn = rng.normal(size=(t, H)).astype(np.float32) * 0.1
+    x = rng.normal(size=(t, D)).astype(np.float32) * 0.1
+    saved = lf._W2_KTILE
+    lf._W2_KTILE = True
+    try:
+        for li in range(L):
+            got = lf.layer_tail_fused_rowq(
+                ws["wo"], ws["w13"], ws["w2"], jnp.asarray(ws["ffn_norm"]),
+                jnp.asarray(attn), jnp.asarray(x), jnp.int32(li), EPS, rs,
+                interpret=True)
+            assert got is not None
+            want = _tail_ref(ws, attn, x, li, rs)
+            np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4,
+                                       atol=1e-3)
+    finally:
+        lf._W2_KTILE = saved
