@@ -122,6 +122,8 @@ def phase_programs(eng, pos: int):
         for key in ("wqkv", "wo", "shared_g13", "shared_down"):
             if key in slw:
                 progs[f"mm:{key}"] = stream_phase(key)
+        folded = "shared_gate_inp" in slw and "shared_g13" not in slw \
+            and "shared_down" not in slw  # weights.fold_shared_expert
 
         from llamatpu.models.transformer import _moe_ffn
 
@@ -141,8 +143,12 @@ def phase_programs(eng, pos: int):
             return x
 
         eb = 0
-        for k in ("gate_exps", "up_exps", "down_exps"):
-            eb += qbytes(slw[k]) // cfg.n_experts * cfg.n_experts_used
+        for k in ("gate_exps", "up_exps", "gu_exps", "down_exps"):
+            if k not in slw:
+                continue
+            e_tot = slw[k].qs.shape[1]
+            active = cfg.n_experts_used + (e_tot - cfg.n_experts if folded else 0)
+            eb += qbytes(slw[k]) // e_tot * active
         eb += sum(qbytes(slw[k]) for k in ("shared_g13", "shared_down") if k in slw)
         progs["moe_ffn(routed+shared)"] = (
             jax.jit(moe_prog),
