@@ -148,6 +148,11 @@ def parity_table(preset: str = "llama32-1b", corpus_len: int = 1024,
     # stride rounding — deltas are only meaningful when every variant scores
     # IDENTICAL windows with identical context
     for v in variants:
+        import sys
+        import time as _t
+
+        print(f"# parity {preset}: variant {v}...", file=sys.stderr, flush=True)
+        _t0 = _t.time()
         model, kw = make_variant(master, v)
         if v.endswith("-a8"):
             # force the int8 MXU activation-quant path at the ppl chunk width
@@ -168,5 +173,7 @@ def parity_table(preset: str = "llama32-1b", corpus_len: int = 1024,
         rows.append({"variant": v, "ppl": r["ppl"], "tokens": r["tokens"],
                      "delta": r["ppl"] - base_ppl if base_ppl else 0.0,
                      "rel": (r["ppl"] - base_ppl) / base_ppl if base_ppl else 0.0})
+        print(f"#   {v}: ppl {r['ppl']:.4f} ({_t.time()-_t0:.0f}s)",
+              file=sys.stderr, flush=True)
         del model
     return rows
