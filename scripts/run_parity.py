@@ -38,7 +38,10 @@ def run_one(preset: str, out: list) -> dict:
     variants, overrides, note = PRESETS.get(preset, (None, {}, ""))
     kw = {} if variants is None else {"variants": variants}
     t0 = time.time()
-    rows = parity_table(preset, corpus_len=1024, cache_len=512, seed=0,
+    # corpus 512 (not 1024): the full 17-variant run must fit one relay
+    # session; deltas are stable at this corpus size (tests gate the same
+    # deltas at corpus 96)
+    rows = parity_table(preset, corpus_len=512, cache_len=512, seed=0,
                         **kw, **overrides)
     out += ["", f"## {preset}", "",
             f"_{note}; measured in {time.time()-t0:.0f}s._", "",
@@ -56,7 +59,7 @@ def main() -> int:
     presets = sys.argv[1:] or list(PRESETS)
     out = ["# PARITY — quantization-fidelity table (hermetic)", "",
            "Method (llamatpu/bench/parity.py): ONE seeded f32 master per",
-           "preset at production geometry; corpus = 1024 tokens sampled from",
+           "preset at production geometry; corpus = 512 tokens sampled from",
            "the master itself (temp 0.8, seed 42); identical sliding windows",
            "(cache 512, stride 256, chunk 16) for every variant. Deltas vs",
            "f32 on identical weights measure each quantized COMPUTE PATH's",
