@@ -35,8 +35,9 @@ step serving      # TTFT/ITG/adversary-stall rows, B=16 dense+paged, rowq fmt
 $R 3 3600 python scripts/bench_serving.py llama32-1b q8_0r 16 \
   > /tmp/serving_rows.jsonl && hist /tmp/serving_rows.jsonl
 
-step longctx      # 16k/32k decode-at-depth rows
-$R 3 3600 python scripts/bench_longctx.py llama32-1b q8_0 16384,32768 \
+step longctx      # 16k decode-at-depth row (32k verified r2; one ctx fits
+                  # the remaining session budget)
+$R 3 3600 python scripts/bench_longctx.py llama32-1b q8_0 16384 \
   > /tmp/longctx_rows.jsonl && hist /tmp/longctx_rows.jsonl
 
 step spec-decode  # spec-decode overhead + acceptance telemetry row
@@ -47,9 +48,8 @@ step moe-bench    # MoE decode row refresh post grouped-kernel work
 $R 3 3600 python scripts/bench_matrix.py qwen15-moe-a2.7b:q4_0p \
   > /tmp/moe_rows.jsonl && hist /tmp/moe_rows.jsonl
 
-step matrix       # full preset matrix refresh (most compile-expensive; last)
-$R 4 4200 python scripts/bench_matrix.py llama32-1b:q8_0r llama32-1b \
-  qwen3-0.6b mistral-7b:q4_0p phi3-mini > /tmp/matrix_rows.jsonl && \
-  hist /tmp/matrix_rows.jsonl
+step matrix       # headline rows refresh (r2 rows stand for the rest)
+$R 3 3600 python scripts/bench_matrix.py llama32-1b:q8_0r llama32-1b \
+  > /tmp/matrix_rows.jsonl && hist /tmp/matrix_rows.jsonl
 
 step done
