@@ -126,7 +126,7 @@ def build_synthetic_model(preset: str, quant: str = "q8_0", seed: int = 0,
     rng = np.random.default_rng(seed)
 
     def mat(out_dim, in_dim):
-        if quant in ("q8_0", "q4_0"):
+        if quant in ("q8_0", "q4_0", "q4_k"):
             return prepare_qtensor(_rand_qtensor(rng, (cfg.n_layers, out_dim, in_dim), quant),
                                    pack4=pack4)
         return _rand_dense(rng, (cfg.n_layers, out_dim, in_dim), dtype)
@@ -155,7 +155,7 @@ def build_synthetic_model(preset: str, quant: str = "q8_0", seed: int = 0,
         # on shared expert, hidden_dim-sized, matching the loader's layout)
         def emat(out_dim, in_dim):
             shape = (cfg.n_layers, cfg.n_experts, out_dim, in_dim)
-            if quant in ("q8_0", "q4_0"):
+            if quant in ("q8_0", "q4_0", "q4_k"):
                 return prepare_qtensor(_rand_qtensor(rng, shape, quant), pack4=pack4)
             return _rand_dense(rng, shape, dtype)
 
@@ -171,7 +171,7 @@ def build_synthetic_model(preset: str, quant: str = "q8_0", seed: int = 0,
 
     cos, sin = precompute_rope_tables(cfg)
     wcls = (prepare_qtensor(_rand_qtensor(rng, (cfg.vocab_size, cfg.dim), quant), pack4=pack4)
-            if quant in ("q8_0", "q4_0")
+            if quant in ("q8_0", "q4_0", "q4_k")
             else _rand_dense(rng, (cfg.vocab_size, cfg.dim), dtype))
     weights = {
         "tok_emb": _rand_dense(rng, (cfg.vocab_size, cfg.dim), dtype),
