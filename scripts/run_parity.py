@@ -22,10 +22,11 @@ PRESETS = {
     "llama32-1b": (None, {}, "full depth; every compute-path variant"),
     "qwen15-moe-a2.7b": (
         ("f32", "q8_0", "q4_0", "q4_0-pack4", "q4_k", "q8_row"),
-        {"n_layers": 4},
-        "reduced depth (4 layers — f32 master RAM); production per-layer "
-        "expert geometry; grouped-kernel variants incl. q8_row expert "
-        "stacks and native q4_k experts"),
+        {"n_layers": 2},
+        "reduced depth (2 layers — the f32 master + a quantized variant must "
+        "fit 16G HBM together; 4 layers OOM'd at 15.96G) with production "
+        "per-layer expert geometry; grouped-kernel variants incl. q8_row "
+        "expert stacks and native q4_k experts"),
 }
 
 # Gate calibration: the corpus is sampled from a RANDOM-weight master, which
