@@ -220,20 +220,25 @@ def _gkernel_dense(te_ref, *rest, dot_dtype, mdim=0, stacked=False):
         o_ref[:] = jnp.zeros_like(o_ref)
 
 
-def _pick_to(o: int, i: int, wbytes: float) -> int:
-    """Largest dividing out-tile whose double-buffered block fits VMEM.
+def _pick_to(o: int, i: int, wbytes: float, tm: int = 8,
+             xbytes: int = 2, n_x: int = 1) -> int:
+    """Largest dividing out-tile whose TOTAL per-call VMEM (double-buffered
+    weight+scale blocks, out blocks at this tm, x blocks) fits the budget.
 
-    Bigger blocks win: decode streams one expert's matrix per m-tile, and
-    0.13 MB blocks (the old smallest-first pick for O=1408, which 256/512
-    don't divide) ran the routed-expert stream at ~168 GB/s on chip vs
-    600-750 for 1.5-2 MB blocks (PERF.md). Whole-O is a candidate too —
-    Qwen1.5-MoE's 1408-row experts stream as single 1.4 MB blocks."""
+    Bigger blocks win for DECODE (tm=8: out blocks are tiny, so whole-O
+    1.4-2.9 MB expert streams survive the check — 0.13 MB blocks ran at
+    ~168 GB/s on chip vs 600-750 for 1.5-2 MB, PERF.md). PREFILL (tm=128)
+    naturally shrinks: a 2816-row folded-gu whole-O block plus its
+    [128, 2816] f32 out blocks blew Mosaic's 16 M scoped-vmem limit
+    (found on chip 2026-08-21)."""
     budget = 8 * 1024 * 1024
+    xblk = 2 * n_x * tm * i * xbytes
     for to in (o, 2048, 1024, 512, 256, 128):
         if to <= o and o % to == 0 and \
-                2 * (to * int(i * wbytes) + to * 4 * (i // BLOCK)) <= budget:
+                (2 * (to * int(i * wbytes) + to * 4 * (i // BLOCK))
+                 + 2 * tm * to * 4 + xblk) <= budget:
             return to
-    return o
+    return 128 if o % 128 == 0 else o
 
 
 def _specs(tm, to, m_fastest, stacked=False):
@@ -278,7 +283,9 @@ def _grouped_matmul_q(qs, scales, x_sorted, tile_expert, tm, interpret, layout,
     e, o, wi = qs.shape[-3:]
     i = wi * 2 if packed else wi
     mp = x_sorted.shape[0]
-    to = _pick_to(o, i, 0.5 if packed else 1)
+    xbytes = 4 if x_sorted.dtype == jnp.float32 else 2
+    to = _pick_to(o, i, 0.5 if packed else 1, tm=tm, xbytes=xbytes,
+                  n_x=2 if packed else 1)
     dot_dtype = jnp.float32 if x_sorted.dtype == jnp.float32 else jnp.bfloat16
     grid_of, xmap, wmap, omap, mdim = _specs(tm, to, m_fastest, stacked)
     wb = (1, 1) if stacked else (1,)
@@ -338,7 +345,8 @@ def _grouped_matmul_dense(w, x_sorted, tile_expert, tm, interpret,
     stacked = li is not None
     e, o, i = w.shape[-3:]
     mp = x_sorted.shape[0]
-    to = _pick_to(o, i, 2)
+    xbytes = 4 if x_sorted.dtype == jnp.float32 else 2
+    to = _pick_to(o, i, w.dtype.itemsize, tm=tm, xbytes=xbytes)
     dot_dtype = jnp.float32 if x_sorted.dtype == jnp.float32 else jnp.bfloat16
     grid_of, xmap, wmap, omap, mdim = _specs(tm, to, m_fastest, stacked)
     wb = (1, 1) if stacked else (1,)
