@@ -369,6 +369,14 @@ def fold_shared_expert(cfg, layers: dict) -> dict:
     de/re-interleaved per chunk — numpy, load-time). The per-token routing
     extension happens in transformer._moe_ffn (pallas grouped path only; the
     xla scan path keeps the explicit shared-expert reference semantics)."""
+    import os
+
+    if os.environ.get("LLAMATPU_NO_SHARED_FOLD"):
+        # escape hatch for HBM-tight configs: folding grows the expert stacks
+        # by S virtual experts (~7% at Qwen1.5 geometry), which pushed the
+        # q4_0p 14.3B preset past a 16G chip's prefill memory plan
+        # (found on chip 2026-08-21)
+        return layers
     need = ("gate_exps", "up_exps", "down_exps",
             "shared_gate", "shared_up", "shared_down")
     if not all(k in layers for k in need):
