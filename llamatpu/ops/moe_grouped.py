@@ -231,12 +231,18 @@ def _pick_to(o: int, i: int, wbytes: float, tm: int = 8,
     naturally shrinks: a 2816-row folded-gu whole-O block plus its
     [128, 2816] f32 out blocks blew Mosaic's 16 M scoped-vmem limit
     (found on chip 2026-08-21)."""
-    budget = 8 * 1024 * 1024
+    budget = 13 * 1024 * 1024  # Mosaic scoped-vmem limit 16M minus slack
     xblk = 2 * n_x * tm * i * xbytes
-    for to in (o, 2048, 1024, 512, 256, 128):
-        if to <= o and o % to == 0 and \
-                (2 * (to * int(i * wbytes) + to * 4 * (i // BLOCK))
-                 + 2 * tm * to * 4 + xblk) <= budget:
+    # packed4's in-kernel unpack materializes int32 intermediates (p, lo, hi)
+    # plus the bf16 half-matrices: ~12.5 bytes of VMEM per PACKED byte
+    # (measured: a [2048, 704] packed block hit 17.82M scoped — 12.3 B/byte);
+    # plain int8 dequant peaks at ~6 B/byte (w + f32 dequant + bf16 cast)
+    per_wbyte = 12.5 if wbytes == 0.5 else 6.0
+    cands = sorted({c for c in range(8, o + 1, 8) if o % c == 0}
+                   | ({o} if o % 8 == 0 else set()), reverse=True)
+    for to in cands:
+        if (per_wbyte * to * int(i * wbytes) + 2 * to * 4 * (i // BLOCK)
+                + 2 * tm * to * 4 + xblk) <= budget:
             return to
     return 128 if o % 128 == 0 else o
 
