@@ -237,8 +237,14 @@ def _pick_to(o: int, i: int, wbytes: float, tm: int = 8,
     # plus the bf16 half-matrices: ~12.5 bytes of VMEM per PACKED byte
     # (measured: a [2048, 704] packed block hit 17.82M scoped — 12.3 B/byte);
     # plain int8 dequant peaks at ~6 B/byte (w + f32 dequant + bf16 cast)
-    per_wbyte = 12.5 if wbytes == 0.5 else 6.0
-    cands = sorted({c for c in range(8, o + 1, 8) if o % c == 0}
+    # packed4: 12.3 B of scoped VMEM per packed byte MEASURED on chip (int32
+    # unpack intermediates); plain int8: <=4 (r2/r3 ran whole-O 1408x2048
+    # int8 expert blocks, so Mosaic keeps the f32 dequant fused in chunks)
+    per_wbyte = 12.5 if wbytes == 0.5 else 4.0
+    # `to` is ALSO the out block's LANE dim: it must be a multiple of 128 or
+    # equal to the full O (Mosaic last-dim rule — to=704 of O=2816 rejected
+    # on chip)
+    cands = sorted({c for c in range(128, o + 1, 128) if o % c == 0}
                    | ({o} if o % 8 == 0 else set()), reverse=True)
     for to in cands:
         if (per_wbyte * to * int(i * wbytes) + 2 * to * 4 * (i // BLOCK)
