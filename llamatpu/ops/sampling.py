@@ -55,6 +55,64 @@ def make_sampler(temperature: float, top_p: float):
     return partial(sample, temperature=temperature, top_p=top_p)
 
 
+def filtered_scaled_logits(logits: jnp.ndarray, temperature: jnp.ndarray,
+                           top_p: jnp.ndarray) -> jnp.ndarray:
+    """sample_dynamic's temperature+nucleus filter WITHOUT the draw, in
+    ORIGINAL token order: temperature-scaled logits with tokens outside the
+    top-p nucleus masked to -inf. softmax of a row is exactly the distribution
+    sample_dynamic draws from — used by speculative verify to score drafted
+    tokens under the target distribution. logits: [..., V] -> [..., V] f32."""
+    scaled = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-6)
+    top_p = jnp.clip(top_p, 1e-6, 1.0)
+    probs = jax.nn.softmax(scaled, axis=-1)
+    sorted_probs = jnp.sort(probs, axis=-1, descending=True)
+    sorted_idx = jnp.argsort(probs, axis=-1, descending=True)
+    cum = jnp.cumsum(sorted_probs, axis=-1)
+    keep_sorted = (cum - sorted_probs) < top_p  # first token always kept
+    inv = jnp.argsort(sorted_idx, axis=-1)  # token id -> its descending rank
+    keep = jnp.take_along_axis(keep_sorted, inv, axis=-1)
+    return jnp.where(keep, scaled, -jnp.inf)
+
+
+def spec_verify_sample(logits: jnp.ndarray, drafts: jnp.ndarray, rng: jax.Array,
+                       temperature: jnp.ndarray, top_p: jnp.ndarray):
+    """Rejection-sampling verification of DETERMINISTIC drafts (speculative
+    sampling with a delta draft distribution q: accept d_i with prob
+    min(1, p(d_i)/q(d_i)) = p(d_i); the residual max(0, p - q) renormalized is
+    p with the rejected token removed). The emitted token stream is therefore
+    distributed EXACTLY as plain sample_dynamic decoding — the spec-decode
+    losslessness guarantee — though not draw-for-draw identical (the rng is
+    consumed differently).
+
+    logits: [K+1, V] target logits at the K drafted positions + the bonus
+    position; drafts: [K] int32 drafted token ids. Returns (cand [K+1] int32,
+    m int32 accepted count in 0..K): cand[:m] == drafts[:m], cand[m] is the
+    residual/bonus sample, entries past m are garbage (callers consume exactly
+    m + 1 tokens)."""
+    K = drafts.shape[0]
+    fl = filtered_scaled_logits(logits, temperature, top_p)  # [K+1, V]
+    p = jax.nn.softmax(fl, axis=-1)
+    k_acc, k_res = jax.random.split(rng)
+    u = jax.random.uniform(k_acc, (K,))
+    pd = jnp.take_along_axis(p[:K], drafts[:, None], axis=-1)[:, 0]
+    acc = (u < pd).astype(jnp.int32)
+    m = jnp.sum(jnp.cumprod(acc)).astype(jnp.int32)  # first-rejection index
+    row = fl[m]
+    # residual: zero the rejected draft's mass; the bonus row (m == K) stays
+    # unmasked
+    v_iota = jnp.arange(fl.shape[-1], dtype=jnp.int32)
+    d_m = drafts[jnp.minimum(m, K - 1)]
+    row = jnp.where((m < K) & (v_iota == d_m), -jnp.inf, row)
+    # degenerate guard: nucleus == {d_m} AND rejected is reachable only via
+    # float round-off (p(d_m) == 1 accepts surely) -> fall back unmasked
+    row = jnp.where(jnp.any(jnp.isfinite(row)), row, fl[m])
+    final = jax.random.categorical(k_res, row).astype(jnp.int32)
+    idxs = jnp.arange(K + 1, dtype=jnp.int32)
+    drafts_ext = jnp.concatenate([drafts, jnp.zeros((1,), jnp.int32)])
+    cand = jnp.where(idxs == m, final, drafts_ext)
+    return cand, m
+
+
 def sample_dynamic(logits: jnp.ndarray, rng: jax.Array, temperature: jnp.ndarray,
                    top_p: jnp.ndarray) -> jnp.ndarray:
     """Sampling with TRACED temperature/top_p so per-request parameters (the

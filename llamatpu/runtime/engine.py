@@ -87,15 +87,20 @@ class Engine:
         if self.pp:
             assert not self.ep, "pp + expert parallelism not supported yet"
         # prompt-lookup speculative decoding: draft length K (0 = off).
-        # Greedy decode verifies K n-gram-drafted tokens per forward — on a
-        # weight-bandwidth-bound chip a T=1+K verify forward reads the same
-        # weight bytes as T=1, so accepted drafts are nearly free (measured
-        # <5% step-cost overhead at K=8 on chip, up to ~(1+K)x on predictable
-        # text). Every emitted token is the verify forward's own greedy argmax
-        # — bit-exact vs plain greedy when the forward is batch-invariant
+        # Each step drafts K tokens from the token history's last-bigram
+        # continuation and verifies them in ONE T=1+K forward — on a
+        # weight-bandwidth-bound chip that forward reads the same weight bytes
+        # as T=1, so accepted drafts are nearly free (measured <5% step-cost
+        # overhead at K=8 on chip, up to ~(1+K)x on predictable text).
+        # GREEDY: every emitted token is the verify forward's own argmax —
+        # bit-exact vs plain greedy when the forward is batch-invariant
         # (f32/XLA, tested); under bf16 TPU kernels the T=1+K tiling can flip
-        # argmax near-ties, the standard speculative-decoding caveat. Sampled
-        # requests transparently use the normal path.
+        # argmax near-ties, the standard speculative-decoding caveat.
+        # SAMPLED: rejection-sampling verification (sampling.spec_verify_sample
+        # — accept draft d_i with prob p(d_i), residual-sample at the first
+        # rejection) emits a stream distributed EXACTLY as plain sampled
+        # decoding (distribution-exact, not draw-for-draw identical: the rng
+        # is consumed per verify forward, not per token).
         self.spec_k = max(0, int(spec_decode))
         assert self.spec_k == 0 or batch_size == 1, \
             "speculative decoding is single-sequence"
@@ -161,7 +166,7 @@ class Engine:
                 return sampling.greedy(logits)
             return sampling.sample_dynamic(logits, sub, temp, topp)
 
-        K = self.spec_k if greedy else 0
+        K = self.spec_k
 
         def prefill_fn(weights, tokens, cache, pos, logit_idx, rng, temp, topp):
             logits, cache = fwd(weights, tokens, cache, pos,
@@ -180,24 +185,28 @@ class Engine:
                 weights, tokens, cache, pos, logit_idx, rng, temp, topp)
             return next_tok, logits, cache, ids, rng
 
-        def spec_decode_n_fn(weights, token, cache, ids, pos0, rng, stops, limit):
-            """Greedy prompt-lookup speculative decode: each step drafts K
-            tokens from the last bigram's previous continuation in the token
-            history and verifies them in ONE T=1+K forward (same weight HBM
-            traffic as T=1). Emits the accepted prefix + one bonus token —
-            identical to plain greedy decode by construction. Rejected drafts
-            leave garbage KV/ids past the accepted position; the next window
-            starts there and rewrites every such position before any query
-            attends to it (same invariant as padded prefill chunks)."""
+        def spec_decode_n_fn(weights, token, cache, ids, pos0, rng, stops, limit,
+                             temp, topp):
+            """Prompt-lookup speculative decode: each step drafts K tokens
+            from the last bigram's previous continuation in the token history
+            and verifies them in ONE T=1+K forward (same weight HBM traffic as
+            T=1). Greedy: emits the accepted argmax-match prefix + one bonus
+            token — identical to plain greedy decode by construction. Sampled:
+            rejection-sampling verification (sampling.spec_verify_sample) —
+            the emitted stream is distributed exactly as plain sampled decode.
+            Rejected drafts leave garbage KV/ids past the accepted position;
+            the next window starts there and rewrites every such position
+            before any query attends to it (same invariant as padded prefill
+            chunks)."""
             b = token.shape[0]
             out = jnp.full((W + K, b), -1, jnp.int32)
 
             def cond(c):
-                cnt, nfwd, tok, cache_, ids_, pos, out_, done = c
+                cnt, nfwd, tok, cache_, ids_, pos, rng_, out_, done = c
                 return jnp.logical_and(cnt < limit, jnp.logical_not(done))
 
             def body(c):
-                cnt, nfwd, tok, cache_, ids_, pos, out_, done = c
+                cnt, nfwd, tok, cache_, ids_, pos, rng_, out_, done = c
                 s_phys = ids_.shape[1]
                 a = ids_[0, pos - 1]
                 iota = jnp.arange(s_phys - 1, dtype=jnp.int32)
@@ -210,9 +219,14 @@ class Engine:
                 w = jnp.concatenate([tok, drafts])[None, :]        # [1, 1+K]
                 ids_ = jax.lax.dynamic_update_slice(ids_, w, (0, pos))
                 logits, cache_ = fwd(weights, w, cache_, pos)      # [1,1+K,V]
-                cand = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
-                match = (cand[:-1] == drafts).astype(jnp.int32)
-                m = jnp.sum(jnp.cumprod(match))                    # accepted
+                if greedy:
+                    cand = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
+                    match = (cand[:-1] == drafts).astype(jnp.int32)
+                    m = jnp.sum(jnp.cumprod(match))                # accepted
+                else:
+                    rng_, sub = jax.random.split(rng_)
+                    cand, m = sampling.spec_verify_sample(
+                        logits[0], drafts, sub, temp, topp)
                 idxs = jnp.arange(K + 1, dtype=jnp.int32)
                 isstop = jnp.isin(cand, stops)
                 stop_at = jnp.min(jnp.where(isstop & (idxs <= m), idxs, K + 1))
@@ -224,12 +238,12 @@ class Engine:
                 tok_n = cand[e - 1][None]
                 pos_n = pos + e
                 done_n = hit | (pos_n + 1 >= self.cache_len)
-                return (cnt + e, nfwd + 1, tok_n, cache_, ids_, pos_n, out_,
-                        done_n)
+                return (cnt + e, nfwd + 1, tok_n, cache_, ids_, pos_n, rng_,
+                        out_, done_n)
 
-            cnt, nfwd, tok, cache, ids, pos, out, done = jax.lax.while_loop(
+            cnt, nfwd, tok, cache, ids, pos, rng, out, done = jax.lax.while_loop(
                 cond, body,
-                (jnp.int32(0), jnp.int32(0), token, cache, ids, pos0, out,
+                (jnp.int32(0), jnp.int32(0), token, cache, ids, pos0, rng, out,
                  jnp.bool_(False)))
             # nfwd = verify forwards this window; emitted/forwards - 1 is the
             # mean accepted drafts per step (acceptance telemetry, RunMetrics)
@@ -284,7 +298,7 @@ class Engine:
         greedy, temp, topp = self._resolve_sampling(None, None)
         prefill, decode_n = self._programs(greedy)
         with Timer() as t:
-            if self.spec_k and greedy:
+            if self.spec_k:
                 _, _, cache, self._ids, self._rng = prefill(
                     self.weights, np.zeros((b, self.prefill_chunk), np.int32),
                     self.cache, self._ids, np.int32(0), np.int32(0),
@@ -292,7 +306,7 @@ class Engine:
                 _, _, _, cache, self._ids, self._rng = decode_n(
                     self.weights, np.ones((b,), np.int32), cache, self._ids,
                     np.int32(1), self._rng, self._stops_array(set()),
-                    np.int32(1))
+                    np.int32(1), temp, topp)
             else:
                 _, _, cache, self._rng = prefill(
                     self.weights, np.zeros((b, self.prefill_chunk), np.int32),
@@ -331,7 +345,7 @@ class Engine:
         n = len(tokens)
         tok = logits = None
         i = 0
-        spec = bool(self.spec_k and greedy)
+        spec = bool(self.spec_k)
         while i < n:
             chunk = tokens[i : i + c]
             r = len(chunk)
@@ -360,11 +374,11 @@ class Engine:
         limit = min(limit, self.decode_window, self.cache_len - pos - 1)
         if limit <= 0:
             return []
-        if self.spec_k and greedy:
+        if self.spec_k:
             toks, count, nfwd, self.cache, self._ids, self._rng = decode_n(
                 self.weights, np.full((self.batch_size,), token, np.int32),
                 self.cache, self._ids, np.int32(pos), self._rng,
-                self._stops_array(stop_tokens), np.int32(limit))
+                self._stops_array(stop_tokens), np.int32(limit), temp, topp)
             toks_h, count_h, nfwd_h = jax.device_get((toks, count, nfwd))
             ex = self.metrics.extra
             ex["spec_emitted"] = ex.get("spec_emitted", 0) + int(count_h)

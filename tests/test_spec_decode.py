@@ -77,16 +77,60 @@ def test_spec_multiturn_continuation(model):
     assert s2 == r2
 
 
-def test_spec_sampled_falls_back(model):
-    """temperature > 0 uses the normal sampled path (no speculation)."""
+def test_spec_sampled_low_temp_matches_greedy(model):
+    """Rejection-sampled verification at temperature -> 0 degenerates to the
+    greedy verify (draft == argmax accepted surely, residual/bonus == argmax):
+    the sampled-spec stream must equal the greedy-spec stream exactly."""
+    _, spec = _pair(model, 4)
+    prompt = [7, 8, 9, 7, 8, 9, 7, 8, 9, 7, 8]
+    g = spec.generate(prompt, 12).tokens  # greedy spec program
+    spec.reset()
+    s = spec.generate(prompt, 12, temperature=1e-6, top_p=1.0).tokens
+    assert s == g
+
+
+def test_spec_sampled_runs_with_telemetry(model):
+    """Sampled requests speculate too (rejection sampling): generation runs to
+    budget and records acceptance telemetry."""
     spec = Engine(model, cache_dtype=jnp.float32, aot_compile=False,
                   decode_window=4, spec_decode=4, seed=7)
-    ref = Engine(model, cache_dtype=jnp.float32, aot_compile=False,
-                 decode_window=4, seed=7)
-    prompt = [5, 9, 23]
-    r = ref.generate(prompt, 6, temperature=0.8, top_p=0.9).tokens
-    s = spec.generate(prompt, 6, temperature=0.8, top_p=0.9).tokens
-    assert s == r  # same seed, same sampled path
+    prompt = [7, 8, 9, 7, 8, 9, 7, 8]
+    r = spec.generate(prompt, 10, temperature=0.8, top_p=0.9)
+    assert len(r.tokens) == 10
+    ex = spec.metrics.extra
+    assert ex["spec_forwards"] >= 1
+    assert ex["spec_emitted"] >= ex["spec_forwards"]
+
+
+def test_spec_verify_sample_marginal_distribution():
+    """The losslessness guarantee, tested where it is checkable: the FIRST
+    emitted token of spec_verify_sample (drafts[0] if accepted, else the
+    residual sample) must be distributed exactly as sample_dynamic's filtered
+    softmax of row 0 — p(d)*delta_d + (1-p(d))*[p without d] == p for a delta
+    draft. Empirical marginal over many keys vs the analytic distribution."""
+    import jax
+
+    from llamatpu.ops import sampling
+
+    V, K, N = 16, 3, 20000
+    rng = np.random.default_rng(3)
+    logits = jnp.asarray(rng.normal(0, 2.0, (K + 1, V)), jnp.float32)
+    drafts = jnp.asarray([4, 11, 2], jnp.int32)
+    temp, topp = jnp.float32(0.8), jnp.float32(0.9)
+
+    def first_tok(key):
+        cand, m = sampling.spec_verify_sample(logits, drafts, key, temp, topp)
+        return cand[0]
+
+    keys = jax.random.split(jax.random.PRNGKey(0), N)
+    toks = np.asarray(jax.jit(jax.vmap(first_tok))(keys))
+    emp = np.bincount(toks, minlength=V) / N
+    target = np.asarray(jax.nn.softmax(
+        sampling.filtered_scaled_logits(logits[0], temp, topp)))
+    # sd of a frequency estimate <= 0.5/sqrt(N) ~ 0.0035; 6 sigma
+    np.testing.assert_allclose(emp, target, atol=0.022)
+    # tokens outside the nucleus must never be emitted
+    assert emp[target == 0.0].sum() == 0.0
 
 
 def test_spec_acceptance_telemetry(model):
