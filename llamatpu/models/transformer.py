@@ -402,6 +402,18 @@ def make_layer_fn(cfg: ModelConfig, impl, b, t, pos_vec, cos, sin, *,
         # [L, ...] arrays (batch_offset windows fall back to materialized
         # slices — the kernels' index maps have no row offset)
         use_stacked = impl == "pallas" and t == 1 and batch_offset is None
+        # fused KV-append + attention (one pallas call replaces 2x
+        # dynamic_update_slice + the attention call — megakernel v3 step 1,
+        # PERF.md launch-residual lever). Dense bf16/f32 stacked caches whose
+        # stripe fits the full-stripe kernel; int8-KV / long-context / gated
+        # (pipeline) writes keep the unfused path.
+        fused_write = False
+        if use_stacked and not paged and not quantized and write_gate is None:
+            from llamatpu.ops.pallas_attention import SPLIT_THRESHOLD_BYTES
+
+            s_phys = kc.shape[3]
+            fused_write = (s_phys % 32 == 0 and
+                           s_phys * kc.dtype.itemsize < SPLIT_THRESHOLD_BYTES)
         row0 = batch_offset
         if paged:
             from llamatpu.runtime.paged_cache import (paged_gather,
@@ -445,7 +457,7 @@ def make_layer_fn(cfg: ModelConfig, impl, b, t, pos_vec, cos, sin, *,
                                  row0, write_gate)
                 ksc = _write_scale_rows(ksc, ks_new, li, pos_vec, row0, write_gate)
                 vsc = _write_scale_rows(vsc, vs_new, li, pos_vec, row0, write_gate)
-            else:
+            elif not fused_write:
                 kc = _write_rows(kc, k.transpose(0, 2, 1, 3), li, pos_vec,
                                  row0, write_gate)
                 vc = _write_rows(vc, v.transpose(0, 2, 1, 3), li, pos_vec,
@@ -471,6 +483,14 @@ def make_layer_fn(cfg: ModelConfig, impl, b, t, pos_vec, cos, sin, *,
                 attn = decode_attention_paged(
                     q4, kc, vc, tables, pos_vec, cfg.attn_score_scale,
                     k_scale=ksc, v_scale=vsc, layer_index=li,
+                    interpret=jax.default_backend() != "tpu")
+            elif fused_write:
+                from llamatpu.ops.pallas_attention import \
+                    decode_attention_fused_write
+
+                attn, kc, vc = decode_attention_fused_write(
+                    q4, k[:, 0], v[:, 0], kc, vc, pos_vec,
+                    cfg.attn_score_scale, li,
                     interpret=jax.default_backend() != "tpu")
             else:
                 from llamatpu.ops.pallas_attention import decode_attention_auto

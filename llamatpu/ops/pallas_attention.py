@@ -441,6 +441,116 @@ def decode_attention_paged(q, k_pool, v_pool, tables, pos_vec, scale: float,
     )(*pref, *args)
 
 
+# ---------------------------------------------------------------------------
+# fused KV-append + attention (megakernel v3 step 1): the decode step's
+# per-layer cache writes ride the attention kernel instead of standalone
+# dynamic_update_slice ops
+# ---------------------------------------------------------------------------
+
+_WTILE = 32  # write-back tile rows: a multiple of every dtype's sublane
+             # granule (f32 8 / bf16 16 / int8 32), so the tile block is
+             # always Mosaic-legal
+
+
+def _fused_write_kernel(pos_pref, li_pref, *refs, scale, hpp):
+    # refs: q k_new v_new k v | o k_tile v_tile
+    del li_pref  # feeds the index maps only
+    q_ref, kn_ref, vn_ref, k_ref, v_ref, o_ref, ko_ref, vo_ref = refs
+    bi = pl.program_id(0)
+    pos = pos_pref[bi]
+    t0 = (pos >> 5) << 5  # start row of the _WTILE-row tile containing pos
+    s = k_ref.shape[3]
+    for i in range(hpp):
+        kn = kn_ref[0, i]  # [hd]   (post-rope new key, activation dtype)
+        vn = vn_ref[0, i]  # [vhd]
+        k = k_ref[0, 0, i]
+        v = v_ref[0, 0, i]
+        # replace the stale row `pos` in-register: the attention dots then see
+        # exactly what the unfused write-then-attend path reads back from the
+        # cache (same cast, same operands -> bit-identical output)
+        row = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0)
+        k_corr = jnp.where(row == pos, kn[None, :].astype(k.dtype), k)
+        v_corr = jnp.where(row == pos, vn[None, :].astype(v.dtype), v)
+        o_ref[0, i] = _attend_one(q_ref[0, i], k_corr, v_corr, pos, scale)
+        # write-back: only the 32-row tile containing `pos` returns to HBM
+        # (the out block's index map points at it); all other rows of the
+        # aliased cache buffer are untouched
+        rel = jax.lax.broadcasted_iota(jnp.int32, (_WTILE, 1), 0) + t0
+        k_tile = k_ref[0, 0, i, pl.ds(t0, _WTILE), :]
+        v_tile = v_ref[0, 0, i, pl.ds(t0, _WTILE), :]
+        ko_ref[0, 0, i] = jnp.where(rel == pos, kn[None, :].astype(k.dtype),
+                                    k_tile)
+        vo_ref[0, 0, i] = jnp.where(rel == pos, vn[None, :].astype(v.dtype),
+                                    v_tile)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret", "hpp"))
+def decode_attention_fused_write(q, k_new, v_new, kc, vc, pos_vec,
+                                 scale: float, layer_index,
+                                 interpret: bool = False,
+                                 hpp: int | None = None):
+    """Fused KV-append + full-stripe decode attention over the STACKED cache:
+    one pallas call per layer replaces (2x dynamic_update_slice + attention) —
+    three XLA thunks -> one, the dominant share of the decode step's
+    per-launch residual (PERF.md r4 reading #2: ~0.45 ms/tok over ~50
+    launches at llama-1b geometry).
+
+    q: [B, KV, G, hd]; k_new/v_new: [B, KV, hd|vhd] (this token's post-RoPE
+    K/V); kc/vc: stacked [L, B, KV, S, hd|vhd] with S % 32 == 0. Returns
+    (attn [B, KV, G, vhd] f32, kc', vc') where kc'/vc' ALIAS kc/vc (XLA
+    operand-output aliasing): row pos_vec[b] of layer `layer_index` holds
+    k_new/v_new cast to the cache dtype, everything else untouched — only the
+    32-row tile containing the position is written back to HBM. The attention
+    output includes the new position (row corrected in-register before the
+    dots, so the result is bit-identical to write-then-attend). Reads the
+    full physical stripe (slack rows cost ~1% of the step's weight bytes;
+    positions past pos are masked), so parked-lane writes at slack rows are
+    safe. bf16/f32 cache only (int8-KV keeps the unfused path); long caches
+    (>= SPLIT_THRESHOLD_BYTES) use the split kernel unfused."""
+    b, kv, g, hd = q.shape
+    s, vhd = kc.shape[-2], vc.shape[-1]
+    assert s % _WTILE == 0, s
+    hpp = hpp or _pick_hpp(kv, s, hd, vhd, kc.dtype.itemsize)
+
+    def q_map(bi, hi, pp, li):
+        return (bi, hi, 0, 0)
+
+    def new_map(bi, hi, pp, li):
+        return (bi, hi, 0)
+
+    def kv_map(bi, hi, pp, li):
+        return (li[0], bi, hi, 0, 0)
+
+    def tile_map(bi, hi, pp, li):
+        return (li[0], bi, hi, pp[bi] >> 5, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, kv // hpp),
+        in_specs=[pl.BlockSpec((1, hpp, g, hd), q_map),
+                  pl.BlockSpec((1, hpp, hd), new_map),
+                  pl.BlockSpec((1, hpp, vhd), new_map),
+                  pl.BlockSpec((1, 1, hpp, s, hd), kv_map),
+                  pl.BlockSpec((1, 1, hpp, s, vhd), kv_map)],
+        out_specs=[pl.BlockSpec((1, hpp, g, vhd), q_map),
+                   pl.BlockSpec((1, 1, hpp, _WTILE, hd), tile_map),
+                   pl.BlockSpec((1, 1, hpp, _WTILE, vhd), tile_map)],
+    )
+    # operand indices include the scalar-prefetch args: pos=0 li=1 q=2 kn=3
+    # vn=4 kc=5 vc=6 -> outputs (attn=0, kc'=1, vc'=2)
+    return pl.pallas_call(
+        functools.partial(_fused_write_kernel, scale=scale, hpp=hpp),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((b, kv, g, vhd), jnp.float32),
+                   jax.ShapeDtypeStruct(kc.shape, kc.dtype),
+                   jax.ShapeDtypeStruct(vc.shape, vc.dtype)],
+        input_output_aliases={5: 1, 6: 2},
+        interpret=interpret,
+    )(pos_vec.astype(jnp.int32),
+      jnp.asarray(layer_index, jnp.int32).reshape(1),
+      q, k_new, v_new, kc, vc)
+
+
 SPLIT_THRESHOLD_BYTES = 16384  # S * itemsize: full-stripe VMEM (K+V, double-
 _SPLIT_TILE = 1024             # buffered) hits the 16M scoped limit past this
                                # (bf16 S=8192 measured at 16.01M on v5e)

@@ -177,3 +177,37 @@ def test_multi_head_per_program_int8_matches_hpp1():
     a = decode_attention_q(q, kc, vc, ksr, vsr, pos, 0.3, interpret=True, hpp=1)
     b2 = decode_attention_q(q, kc, vc, ksr, vsr, pos, 0.3, interpret=True, hpp=2)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b2))
+
+
+def test_fused_write_matches_write_then_attend():
+    """decode_attention_fused_write (megakernel v3 step 1): appending this
+    token's K/V inside the attention kernel must be BIT-identical to the
+    unfused write-then-attend path (same cast, same dot operands), and the
+    aliased cache outputs must equal a dynamic_update_slice write — for both
+    cache dtypes and at tile-boundary positions."""
+    import numpy as np
+    from llamatpu.ops.pallas_attention import (decode_attention,
+                                               decode_attention_fused_write)
+
+    rng = np.random.default_rng(11)
+    L, B, KV, G, S, HD = 3, 2, 4, 2, 96, 64
+    for dtype in (jnp.float32, jnp.bfloat16):
+        for pos_list in ([5, 37], [31, 32], [0, S - 1]):
+            kc = jnp.asarray(rng.standard_normal((L, B, KV, S, HD)), dtype)
+            vc = jnp.asarray(rng.standard_normal((L, B, KV, S, HD)), dtype)
+            q = jnp.asarray(rng.standard_normal((B, KV, G, HD)), jnp.float32)
+            kn = jnp.asarray(rng.standard_normal((B, KV, HD)), jnp.float32)
+            vn = jnp.asarray(rng.standard_normal((B, KV, HD)), jnp.float32)
+            pos = jnp.asarray(pos_list, jnp.int32)
+            li = 1
+            kc2, vc2 = kc, vc
+            for b in range(B):
+                kc2 = kc2.at[li, b, :, pos[b]].set(kn[b].astype(dtype))
+                vc2 = vc2.at[li, b, :, pos[b]].set(vn[b].astype(dtype))
+            ref = decode_attention(q, kc2, vc2, pos, 0.125, interpret=True,
+                                   layer_index=li)
+            out, kc3, vc3 = decode_attention_fused_write(
+                q, kn, vn, kc, vc, pos, 0.125, li, interpret=True)
+            assert jnp.array_equal(kc3, kc2)
+            assert jnp.array_equal(vc3, vc2)
+            np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
