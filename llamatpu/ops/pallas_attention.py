@@ -461,8 +461,8 @@ def _fused_write_kernel(pos_pref, li_pref, *refs, scale, hpp):
     t0 = (pos >> 5) << 5  # start row of the _WTILE-row tile containing pos
     s = k_ref.shape[3]
     for i in range(hpp):
-        kn = kn_ref[0, i]  # [hd]   (post-rope new key, activation dtype)
-        vn = vn_ref[0, i]  # [vhd]
+        kn = kn_ref[0, i, 0]  # [hd]   (post-rope new key, activation dtype)
+        vn = vn_ref[0, i, 0]  # [vhd]
         k = k_ref[0, 0, i]
         v = v_ref[0, 0, i]
         # replace the stale row `pos` in-register: the attention dots then see
@@ -511,12 +511,17 @@ def decode_attention_fused_write(q, k_new, v_new, kc, vc, pos_vec,
     s, vhd = kc.shape[-2], vc.shape[-1]
     assert s % _WTILE == 0, s
     hpp = hpp or _pick_hpp(kv, s, hd, vhd, kc.dtype.itemsize)
+    # [B, KV, 1, hd] so the block's last-two dims are (1, hd) — a (hpp, hd)
+    # block of a 3-D [B, KV, hd] array violates Mosaic's sublane rule
+    # (CLAUDE.md: ship per-head vectors with a singleton sublane dim)
+    k_new = k_new[:, :, None, :]
+    v_new = v_new[:, :, None, :]
 
     def q_map(bi, hi, pp, li):
         return (bi, hi, 0, 0)
 
     def new_map(bi, hi, pp, li):
-        return (bi, hi, 0)
+        return (bi, hi, 0, 0)
 
     def kv_map(bi, hi, pp, li):
         return (li[0], bi, hi, 0, 0)
@@ -528,8 +533,8 @@ def decode_attention_fused_write(q, k_new, v_new, kc, vc, pos_vec,
         num_scalar_prefetch=2,
         grid=(b, kv // hpp),
         in_specs=[pl.BlockSpec((1, hpp, g, hd), q_map),
-                  pl.BlockSpec((1, hpp, hd), new_map),
-                  pl.BlockSpec((1, hpp, vhd), new_map),
+                  pl.BlockSpec((1, hpp, 1, hd), new_map),
+                  pl.BlockSpec((1, hpp, 1, vhd), new_map),
                   pl.BlockSpec((1, 1, hpp, s, hd), kv_map),
                   pl.BlockSpec((1, 1, hpp, s, vhd), kv_map)],
         out_specs=[pl.BlockSpec((1, hpp, g, vhd), q_map),
