@@ -409,11 +409,14 @@ def make_layer_fn(cfg: ModelConfig, impl, b, t, pos_vec, cos, sin, *,
         # (pipeline) writes keep the unfused path.
         fused_write = False
         if use_stacked and not paged and not quantized and write_gate is None:
+            import os
+
             from llamatpu.ops.pallas_attention import SPLIT_THRESHOLD_BYTES
 
             s_phys = kc.shape[3]
             fused_write = (s_phys % 32 == 0 and
-                           s_phys * kc.dtype.itemsize < SPLIT_THRESHOLD_BYTES)
+                           s_phys * kc.dtype.itemsize < SPLIT_THRESHOLD_BYTES
+                           and not os.environ.get("LLAMATPU_NO_FUSED_ATTN"))
         row0 = batch_offset
         if paged:
             from llamatpu.runtime.paged_cache import (paged_gather,
@@ -477,6 +480,28 @@ def make_layer_fn(cfg: ModelConfig, impl, b, t, pos_vec, cos, sin, *,
 
         if use_stacked:
             q4 = q.reshape(b, kv, g, cfg.head_dim)
+            if (fused_write and b == 1 and tp_axis is None and not cfg.is_moe
+                    and slw is not None and li is not None
+                    and "wo" in lw and "w13" in lw):
+                import os as _os
+
+                if _os.environ.get("LLAMATPU_ATTN_TAIL"):
+                    # megakernel v3: KV-append + attention + wo + FFN as ONE
+                    # pallas call (ops/layer_fused.py) — the layer becomes
+                    # two weight-streaming calls total (norm+qkv; this)
+                    from llamatpu.ops.layer_fused import \
+                        layer_attn_tail_fused_rowq
+
+                    mega = layer_attn_tail_fused_rowq(
+                        slw["wo"], slw["w13"], slw["w2"], slw["ffn_norm"],
+                        q4, k[:, 0], v[:, 0], kc, vc, x, pos_vec, li,
+                        cfg.rms_norm_eps, cfg.attn_score_scale,
+                        cfg.residual_scale)
+                    if mega is not None:
+                        x, kc, vc = mega
+                        carry = ((x, kc, vc, ksc, vsc) if quantized
+                                 else (x, kc, vc))
+                        return carry, None
             if paged:
                 from llamatpu.ops.pallas_attention import decode_attention_paged
 

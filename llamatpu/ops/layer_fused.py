@@ -409,6 +409,310 @@ def layer_tail_fused_rowq(wo: QTensor, w13: QTensor, w2: QTensor, ffn_norm,
     return y.reshape(*lead, d).astype(x.dtype)
 
 
+# ------------------------------------------- attn + tail megakernel (v3)
+NEG_INF = -1e30
+
+
+def _attn_tail_kernel(pos_ref, li_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref,
+                      x_ref, nw_ref, wo_ref, so_ref, w13_ref, s13_ref,
+                      w2_ref, s2_ref, o_ref, ko_ref, vo_ref,
+                      x2_ref, h_ref, g13_ref, act_ref, m_ref, l_ref, acc_ref,
+                      *, na, s_tile, st_shift, nwo, towo, n13, to13, n2, to2,
+                      f, d, kvh, g, eps, rs, scale, dot_dtype):
+    """ONE call per layer: [attn tiles] -> wo -> w13 -> w2 (megakernel v3).
+    Phase A appends this token's K/V (write-back tile out specs, cache
+    aliased) and runs online-softmax attention over pos-clamped S tiles;
+    phases B-D are the tail kernel with the attention output read from VMEM
+    scratch instead of an input block. wo arrives viewed [L, D, KV*G, vhd] so
+    phase B contracts per attention-scratch row — a [KV*G, vhd] -> [1, hdim]
+    flatten would cross lane boundaries, which Mosaic reshapes cannot do."""
+    s = pl.program_id(0)
+    pos = pos_ref[0]
+
+    # ---- phase A: KV append + attention over S tiles (online softmax)
+    @pl.when(s == 0)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    start = s * s_tile
+
+    @pl.when((s < na) & (start <= pos))
+    def _():
+        for i in range(kvh):
+            band = slice(i * g, (i + 1) * g)
+            kn = kn_ref[i, 0]
+            vn = vn_ref[i, 0]
+            rel = jax.lax.broadcasted_iota(jnp.int32, (s_tile, 1), 0) + start
+            k = k_ref[0, 0, i]
+            v = v_ref[0, 0, i]
+            k = jnp.where(rel == pos, kn[None, :].astype(k.dtype), k)
+            v = jnp.where(rel == pos, vn[None, :].astype(v.dtype), v)
+            q = q_ref[i].astype(jnp.float32)
+            scores = jax.lax.dot_general(
+                q, k.astype(jnp.float32),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            s_idx = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + start
+            scores = jnp.where(s_idx <= pos, scores, NEG_INF)
+            m_prev = jnp.max(m_ref[band], axis=1, keepdims=True)
+            l_prev = jnp.max(l_ref[band], axis=1, keepdims=True)
+            m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            e = jnp.exp(scores - m_new)
+            l_new = l_prev * alpha + jnp.sum(e, axis=1, keepdims=True)
+            acc_ref[band] = acc_ref[band] * alpha + jax.lax.dot_general(
+                e, v.astype(jnp.float32),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m_ref[band] = jnp.broadcast_to(m_new, (g, m_ref.shape[1]))
+            l_ref[band] = jnp.broadcast_to(l_new, (g, l_ref.shape[1]))
+
+        # write-back: this step owns the tile containing pos
+        @pl.when((pos >> st_shift) == s)
+        def _():
+            t0 = ((pos >> 5) << 5) - start
+            rel32 = (jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0) + start
+                     + t0)
+            for i in range(kvh):
+                kt = k_ref[0, 0, i, pl.ds(t0, 32), :]
+                vt = v_ref[0, 0, i, pl.ds(t0, 32), :]
+                kn = kn_ref[i, 0]
+                vn = vn_ref[i, 0]
+                ko_ref[0, 0, i] = jnp.where(rel32 == pos,
+                                            kn[None, :].astype(kt.dtype), kt)
+                vo_ref[0, 0, i] = jnp.where(rel32 == pos,
+                                            vn[None, :].astype(vt.dtype), vt)
+
+    @pl.when(s == na - 1)
+    def _():  # finalize: acc <- attention output rows [KV*G, vhd]
+        l = jnp.maximum(jnp.max(l_ref[...], axis=1, keepdims=True), 1e-38)
+        acc_ref[...] = acc_ref[...] / l
+
+    # ---- phase B: wo + residual (attention read from scratch, per-row dots)
+    @pl.when((s >= na) & (s < na + nwo))
+    def _():
+        j = s - na
+        y = jnp.zeros((1, towo), jnp.float32)
+        for r in range(kvh * g):
+            a = acc_ref[r:r + 1, :].astype(dot_dtype)      # [1, vhd]
+            w = wo_ref[0, :, r, :].astype(dot_dtype)       # [towo, vhd]
+            y = y + jax.lax.dot_general(
+                a, w, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        y = y * so_ref[0][:, 0][None, :]
+        if rs != 1.0:
+            y = y * rs
+        x2_ref[:, pl.ds(j * towo, towo)] = (
+            x_ref[:, pl.ds(j * towo, towo)].astype(jnp.float32) + y)
+
+    # ---- phase C: rmsnorm + w13
+    @pl.when((s >= na + nwo) & (s < na + nwo + n13))
+    def _():
+        @pl.when(s == na + nwo)
+        def _():
+            x2 = x2_ref[:]
+            ss = jnp.mean(x2 * x2, axis=-1, keepdims=True) + eps
+            h_ref[:] = (x2 * jax.lax.rsqrt(ss)
+                        * nw_ref[0].astype(jnp.float32)).astype(dot_dtype)
+
+        j = s - na - nwo
+        y = jax.lax.dot_general(
+            h_ref[:], w13_ref[0].astype(dot_dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        g13_ref[:, pl.ds(j * to13, to13)] = y * s13_ref[0][:, 0][None, :]
+
+    # ---- phase D: silu + w2 + residual
+    @pl.when(s >= na + nwo + n13)
+    def _():
+        @pl.when(s == na + nwo + n13)
+        def _():
+            gate = g13_ref[:, :f]
+            up = g13_ref[:, f:]
+            act_ref[:] = (gate * jax.nn.sigmoid(gate) * up).astype(dot_dtype)
+
+        j = s - na - nwo - n13
+        y2 = jax.lax.dot_general(
+            act_ref[:], w2_ref[0].astype(dot_dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        y2 = y2 * s2_ref[0][:, 0][None, :]
+        if rs != 1.0:
+            y2 = y2 * rs
+        o_ref[:] = x2_ref[:, pl.ds(j * to2, to2)] + y2
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "eps", "rs", "scale", "kvh", "g", "interpret", "towo", "to13", "to2",
+    "s_tile"))
+def _attn_tail_2d(wo_qs, wo_s, w13_qs, w13_s, w2_qs, w2_s, nw, q4, kn, vn,
+                  kc, vc, x2, pos, li, eps, rs, scale, kvh, g, towo, to13,
+                  to2, s_tile, interpret=False):
+    L, d, hdim = wo_qs.shape
+    _, o13, _ = w13_qs.shape
+    _, d2, f = w2_qs.shape
+    S, hd = kc.shape[-2], kc.shape[-1]
+    vhd = vc.shape[-1]
+    t = x2.shape[0]
+    tp = -(-t // 8) * 8
+    if tp != t:
+        x2 = jnp.pad(x2, ((0, tp - t), (0, 0)))
+    nwo, n13, n2 = d // towo, o13 // to13, d2 // to2
+    na = S // s_tile
+    st_shift = s_tile.bit_length() - 1
+    dot_dtype = jnp.float32 if x2.dtype == jnp.float32 else jnp.bfloat16
+    li_arr = jnp.asarray(li, jnp.int32).reshape(1)
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
+    wo4 = wo_qs.reshape(L, d, kvh * g, vhd)  # free view: hdim = KV*G*vhd
+
+    def cl_attn(s, pp, li_):
+        return jnp.minimum(jnp.minimum(s, na - 1), pp[0] >> st_shift)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(na + nwo + n13 + n2,),
+        in_specs=[
+            pl.BlockSpec((kvh, g, hd), lambda s, pp, li_: (0, 0, 0)),
+            pl.BlockSpec((kvh, 1, hd), lambda s, pp, li_: (0, 0, 0)),
+            pl.BlockSpec((kvh, 1, vhd), lambda s, pp, li_: (0, 0, 0)),
+            pl.BlockSpec((1, 1, kvh, s_tile, hd),
+                         lambda s, pp, li_: (li_[0], 0, 0, cl_attn(s, pp, li_), 0)),
+            pl.BlockSpec((1, 1, kvh, s_tile, vhd),
+                         lambda s, pp, li_: (li_[0], 0, 0, cl_attn(s, pp, li_), 0)),
+            pl.BlockSpec((tp, d), lambda s, pp, li_: (0, 0)),
+            pl.BlockSpec((1, 1, d), lambda s, pp, li_: (li_[0], 0, 0)),
+            pl.BlockSpec((1, towo, kvh * g, vhd),
+                         lambda s, pp, li_: (li_[0],
+                                             jnp.clip(s - na, 0, nwo - 1), 0, 0)),
+            pl.BlockSpec((1, towo, 1),
+                         lambda s, pp, li_: (li_[0],
+                                             jnp.clip(s - na, 0, nwo - 1), 0)),
+            pl.BlockSpec((1, to13, d),
+                         lambda s, pp, li_: (li_[0],
+                                             jnp.clip(s - na - nwo, 0, n13 - 1), 0)),
+            pl.BlockSpec((1, to13, 1),
+                         lambda s, pp, li_: (li_[0],
+                                             jnp.clip(s - na - nwo, 0, n13 - 1), 0)),
+            pl.BlockSpec((1, to2, f),
+                         lambda s, pp, li_: (li_[0],
+                                             jnp.clip(s - na - nwo - n13, 0, n2 - 1), 0)),
+            pl.BlockSpec((1, to2, 1),
+                         lambda s, pp, li_: (li_[0],
+                                             jnp.clip(s - na - nwo - n13, 0, n2 - 1), 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tp, to2),
+                         lambda s, pp, li_: (0, jnp.clip(s - na - nwo - n13,
+                                                         0, n2 - 1))),
+            pl.BlockSpec((1, 1, kvh, 32, hd),
+                         lambda s, pp, li_: (li_[0], 0, 0, pp[0] >> 5, 0)),
+            pl.BlockSpec((1, 1, kvh, 32, vhd),
+                         lambda s, pp, li_: (li_[0], 0, 0, pp[0] >> 5, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tp, d), jnp.float32),          # x2
+            pltpu.VMEM((tp, d), dot_dtype),            # h
+            pltpu.VMEM((tp, o13), jnp.float32),        # g13
+            pltpu.VMEM((tp, f), dot_dtype),            # act
+            pltpu.VMEM((kvh * g, 128), jnp.float32),   # m
+            pltpu.VMEM((kvh * g, 128), jnp.float32),   # l
+            pltpu.VMEM((kvh * g, vhd), jnp.float32),   # acc / attn out
+        ],
+    )
+    # operand order incl. scalar prefetch: pos=0 li=1 q=2 kn=3 vn=4 kc=5 vc=6
+    # x=7 nw=8 wo=9 so=10 w13=11 s13=12 w2=13 s2=14 -> outputs o=0 ko=1 vo=2
+    y, kc2, vc2 = pl.pallas_call(
+        functools.partial(_attn_tail_kernel, na=na, s_tile=s_tile,
+                          st_shift=st_shift, nwo=nwo, towo=towo, n13=n13,
+                          to13=to13, n2=n2, to2=to2, f=f, d=d, kvh=kvh, g=g,
+                          eps=eps, rs=rs, scale=scale, dot_dtype=dot_dtype),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((tp, d2), jnp.float32),
+                   jax.ShapeDtypeStruct(kc.shape, kc.dtype),
+                   jax.ShapeDtypeStruct(vc.shape, vc.dtype)],
+        input_output_aliases={5: 1, 6: 2},
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (kvh * g * S * (hd + vhd)
+                       + tp * (d * hdim + o13 * d + d2 * f)),
+            bytes_accessed=(kvh * S * (hd + vhd) * kc.dtype.itemsize
+                            + d * hdim + o13 * d + d2 * f + tp * d2 * 4),
+            transcendentals=kvh * g * S + tp * f,
+        ),
+    )(pos_arr, li_arr, q4, kn, vn, kc, vc, x2,
+      nw.reshape(nw.shape[0], 1, d), wo4, wo_s, w13_qs, w13_s, w2_qs, w2_s)
+    return (y[:t] if tp != t else y), kc2, vc2
+
+
+def _fit_attn_tail(t, d, hdim, o13, f, kvh, g, vhd, hd, S, kv_itemsize,
+                   xbytes):
+    """(towo, to13, to2, s_tile) fitting the tail tiles + both KV tile
+    streams + attention scratches in VMEM, or None."""
+    base = _fit_tail_tiles(t, d, hdim, o13, f, xbytes)
+    if base is None:
+        return None
+    towo, to13, to2 = base
+    tp = -(-t // 8) * 8
+    for s_tile in (512, 256, 128, 64, 32):
+        if S % s_tile:
+            continue
+        extra = (2 * kvh * s_tile * (hd + vhd) * kv_itemsize  # K+V blocks, 2x
+                 + 3 * kvh * g * 128 * 4 + kvh * g * vhd * 4  # m/l/acc
+                 + 2 * kvh * 32 * (hd + vhd) * kv_itemsize)   # write tiles
+        if (_tail_vmem(tp, d, hdim, o13, f, towo, to13, to2, xbytes, xbytes)
+                + extra <= _VMEM_BUDGET):
+            return towo, to13, to2, s_tile
+    return None
+
+
+def layer_attn_tail_fused_rowq(wo: QTensor, w13: QTensor, w2: QTensor,
+                               ffn_norm, q4, k_new, v_new, kc, vc, x, pos_vec,
+                               li, eps: float, scale: float,
+                               residual_scale: float = 1.0, interpret=None):
+    """Megakernel v3: KV-append + attention + wo + residual + rmsnorm + FFN +
+    residual as ONE pallas call per layer (B=1 decode). q4 [1, KV, G, hd];
+    k_new/v_new [1, KV, hd|vhd] post-RoPE; kc/vc stacked [L, 1, KV, S, *]
+    (S % 32 == 0, s_tile | S); x [1, 1, D]. Returns (new_x, kc', vc') with
+    the caches aliased (only the 32-row tile containing pos written), or None
+    when the shape isn't eligible. Same numerics class as the v2 tail kernel
+    (f32 residuals in VMEM; tolerance-gated by tests + parity rows); the
+    attention math matches ops/pallas_attention (masked f32 online softmax)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    for w in (wo, w13, w2):
+        if not (isinstance(w, QTensor) and w.kind == "q8_row"
+                and w.qs.ndim == 3 and not w.logical_out):
+            return None
+    if q4.shape[0] != 1 or x.shape[0] != 1:
+        return None  # B=1 decode only
+    _, kvh, g, hd = q4.shape
+    vhd = vc.shape[-1]
+    S = kc.shape[-2]
+    if S % 32 or kc.dtype.itemsize == 1:
+        return None
+    d, hdim = wo.qs.shape[-2:]
+    o13 = w13.qs.shape[-2]
+    d2, f = w2.qs.shape[-2:]
+    if not (hdim == kvh * g * vhd and d == d2 and o13 == 2 * f
+            and x.shape[-1] == d):
+        return None
+    xbytes = 4 if x.dtype == jnp.float32 else 2
+    fit = _fit_attn_tail(1, d, hdim, o13, f, kvh, g, vhd, hd, S,
+                         kc.dtype.itemsize, xbytes)
+    if fit is None:
+        return None
+    towo, to13, to2, s_tile = fit
+    y, kc2, vc2 = _attn_tail_2d(
+        wo.qs, wo.scales, w13.qs, w13.scales, w2.qs, w2.scales, ffn_norm,
+        q4[0], k_new[0][:, None, :], v_new[0][:, None, :], kc, vc,
+        x.reshape(1, d), pos_vec[0], li, float(eps), float(residual_scale),
+        float(scale), int(kvh), int(g), towo, to13, to2, s_tile,
+        interpret=interpret)
+    return y.reshape(1, 1, d).astype(x.dtype), kc2, vc2
+
+
 # ------------------------------------------------------- norm+qkv kernel
 def _qkv_kernel(li_ref, x_ref, nw_ref, w_ref, s_ref, o_ref, h_ref, *,
                 eps, dot_dtype):

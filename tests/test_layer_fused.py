@@ -178,3 +178,52 @@ def test_tail_ktile_variant_matches_chain(ws, t, rs):
                                        atol=1e-3)
     finally:
         lf._W2_KTILE = saved
+
+
+def test_attn_tail_mega_matches_composition():
+    """Megakernel v3 (layer_attn_tail_fused_rowq): one call == fused-write
+    attention + the v2 tail, across tile-boundary positions. The attention
+    phase is split-kernel online softmax, so the comparison oracle is the
+    SPLIT attention + tail composition (bit-exact); vs the full-stripe
+    kernel the diff is the documented online-softmax f32 rounding class."""
+    from llamatpu.ops.layer_fused import layer_attn_tail_fused_rowq
+    from llamatpu.ops.pallas_attention import (decode_attention_fused_write,
+                                               decode_attention_split)
+
+    rng = np.random.default_rng(1)
+    Lm, KV, G, hd, S = 2, 4, 2, 64, 768  # s_tile=256 -> 3 attention tiles
+    d = KV * G * hd
+    f = 1024
+    o13 = 2 * f
+
+    def rowq(o, i):
+        qs = rng.integers(-127, 128, (Lm, o, i)).astype(np.int8)
+        sc = (rng.random((Lm, o, 1)).astype(np.float32) + 0.5) / 127
+        return QTensor(jnp.asarray(qs), jnp.asarray(sc), "q8_row", None, None)
+
+    wo, w13, w2 = rowq(d, d), rowq(o13, d), rowq(d, f)
+    nw = jnp.asarray(rng.normal(0, 0.1, (Lm, d)).astype(np.float32) + 1.0)
+    for p in (0, 31, 255, 256, 700, S - 1):
+        kc = jnp.asarray(rng.normal(size=(Lm, 1, KV, S, hd)), jnp.bfloat16)
+        vc = jnp.asarray(rng.normal(size=(Lm, 1, KV, S, hd)), jnp.bfloat16)
+        q4 = jnp.asarray(rng.normal(size=(1, KV, G, hd)), jnp.bfloat16)
+        kn = jnp.asarray(rng.normal(size=(1, KV, hd)), jnp.bfloat16)
+        vn = jnp.asarray(rng.normal(size=(1, KV, hd)), jnp.bfloat16)
+        x = jnp.asarray(rng.normal(size=(1, 1, d)), jnp.bfloat16)
+        pos = jnp.asarray([p], jnp.int32)
+        li = 1
+        _, kc2, vc2 = decode_attention_fused_write(
+            q4, kn, vn, kc, vc, pos, 0.125, li, interpret=True)
+        attn = decode_attention_split(q4, kc2, vc2, pos, 0.125, s_tile=256,
+                                      interpret=True, layer_index=li)
+        ref = layer_tail_fused_rowq(
+            wo, w13, w2, nw, attn.reshape(1, 1, d).astype(x.dtype), x, li,
+            EPS, 1.0, interpret=True)
+        out = layer_attn_tail_fused_rowq(
+            wo, w13, w2, nw, q4, kn, vn, kc, vc, x, pos, li, EPS, 0.125, 1.0,
+            interpret=True)
+        assert out is not None
+        y, kc3, vc3 = out
+        assert jnp.array_equal(kc3, kc2) and jnp.array_equal(vc3, vc2)
+        np.testing.assert_array_equal(np.asarray(ref, np.float32),
+                                      np.asarray(y, np.float32))
