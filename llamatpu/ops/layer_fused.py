@@ -472,7 +472,9 @@ def _attn_tail_kernel(pos_ref, li_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref,
         # write-back: this step owns the tile containing pos
         @pl.when((pos >> st_shift) == s)
         def _():
-            t0 = ((pos >> 5) << 5) - start
+            # multiple_of: Mosaic must prove the dynamic sublane slice is
+            # 8-aligned (pallas_attention._fused_write_kernel, found on chip)
+            t0 = pl.multiple_of(((pos >> 5) << 5) - start, 32)
             rel32 = (jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0) + start
                      + t0)
             for i in range(kvh):

@@ -458,7 +458,11 @@ def _fused_write_kernel(pos_pref, li_pref, *refs, scale, hpp):
     q_ref, kn_ref, vn_ref, k_ref, v_ref, o_ref, ko_ref, vo_ref = refs
     bi = pl.program_id(0)
     pos = pos_pref[bi]
-    t0 = (pos >> 5) << 5  # start row of the _WTILE-row tile containing pos
+    # start row of the _WTILE-row tile containing pos; multiple_of lets
+    # Mosaic prove the dynamic sublane slice below is 8-aligned (it rejects
+    # the load otherwise: "cannot statically prove that index in dimension 3
+    # is a multiple of 8", found on chip)
+    t0 = pl.multiple_of((pos >> 5) << 5, _WTILE)
     s = k_ref.shape[3]
     for i in range(hpp):
         kn = kn_ref[0, i, 0]  # [hd]   (post-rope new key, activation dtype)
