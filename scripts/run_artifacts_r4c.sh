@@ -54,3 +54,47 @@ step sweep-tail   # w2 contraction-tiled A/B (PERF.md next-lever #1)
 $R 2 3600 python scripts/sweep_tail.py llama32-1b > /tmp/sweep_tail.json 2>/tmp/sweep_tail.log
 
 step done
+
+step serving-retry  # r4b's serving step burned its tries on the pre-fix
+                    # Mosaic lowering crash; re-run with the fixed kernel
+$R 2 3600 python scripts/bench_serving.py llama32-1b q8_0r 16 \
+  > /tmp/serving_rows2.jsonl && hist /tmp/serving_rows2.jsonl
+
+step mega-smoke   # megakernel v3 on chip: parity + quick rate probe
+$R 2 3000 python - <<'PYEOF'
+import os, sys, time
+sys.path.insert(0, ".")
+import numpy as np
+from llamatpu.models.synthetic import build_synthetic_model
+from llamatpu.runtime.engine import Engine
+
+model = build_synthetic_model("llama32-1b", quant="q8_0", context_length=1024)
+outs = {}
+rates = {}
+for tag, env in (("mega", "1"), ("v2", None)):
+    if env: os.environ["LLAMATPU_ATTN_TAIL"] = env
+    else: os.environ.pop("LLAMATPU_ATTN_TAIL", None)
+    eng = Engine(model, cache_len=1024, prefill_chunk=512, temperature=0.0,
+                 decode_window=128, impl="pallas", aot_compile=True, rowq=True)
+    prompt = np.random.default_rng(42).integers(0, model.cfg.vocab_size, 512).tolist()
+    eng.reset(); eng.generate(prompt, 8); eng.reset()
+    tok, _ = eng.prefill(prompt, 0)
+    cur, pos, n = int(tok[0]), 512, 0
+    t0 = time.perf_counter()
+    toks = [cur]
+    while n < 128:
+        w = eng.decode_window_run(cur, pos, 128 - n)
+        if not w: break
+        toks += w; cur, pos, n = w[-1], pos + len(w), n + len(w)
+    dt = time.perf_counter() - t0
+    outs[tag], rates[tag] = toks, 128 / dt
+    print(f"{tag}: {128/dt:.1f} tok/s", flush=True)
+    del eng
+import json
+print(json.dumps({"bench": "mega-smoke", "model": "llama32-1b",
+                  "quant": "q8_0r", "mega_tok_s": round(rates["mega"], 1),
+                  "v2_tok_s": round(rates["v2"], 1),
+                  "tokens_match": outs["mega"] == outs["v2"]}), flush=True)
+PYEOF
+
+step done2
