@@ -407,16 +407,18 @@ def make_layer_fn(cfg: ModelConfig, impl, b, t, pos_vec, cos, sin, *,
         # PERF.md launch-residual lever). Dense bf16/f32 stacked caches whose
         # stripe fits the full-stripe kernel; int8-KV / long-context / gated
         # (pipeline) writes keep the unfused path.
-        fused_write = False
-        if use_stacked and not paged and not quantized and write_gate is None:
+        fused_write = fused_write_q = False
+        if use_stacked and not paged and write_gate is None:
             import os
 
             from llamatpu.ops.pallas_attention import SPLIT_THRESHOLD_BYTES
 
             s_phys = kc.shape[3]
-            fused_write = (s_phys % 32 == 0 and
-                           s_phys * kc.dtype.itemsize < SPLIT_THRESHOLD_BYTES
-                           and not os.environ.get("LLAMATPU_NO_FUSED_ATTN"))
+            ok = (s_phys % 32 == 0 and
+                  s_phys * kc.dtype.itemsize < SPLIT_THRESHOLD_BYTES
+                  and not os.environ.get("LLAMATPU_NO_FUSED_ATTN"))
+            fused_write = ok and not quantized
+            fused_write_q = ok and quantized
         row0 = batch_offset
         if paged:
             from llamatpu.runtime.paged_cache import (paged_gather,
@@ -454,12 +456,15 @@ def make_layer_fn(cfg: ModelConfig, impl, b, t, pos_vec, cos, sin, *,
 
                 kq, ks_new = quantize_kv(k)  # int8 [B,T,KV,hd], f32 [B,T,KV]
                 vq, vs_new = quantize_kv(v)
-                kc = _write_rows(kc, kq.transpose(0, 2, 1, 3), li, pos_vec,
-                                 row0, write_gate)
-                vc = _write_rows(vc, vq.transpose(0, 2, 1, 3), li, pos_vec,
-                                 row0, write_gate)
-                ksc = _write_scale_rows(ksc, ks_new, li, pos_vec, row0, write_gate)
-                vsc = _write_scale_rows(vsc, vs_new, li, pos_vec, row0, write_gate)
+                if not fused_write_q:
+                    kc = _write_rows(kc, kq.transpose(0, 2, 1, 3), li, pos_vec,
+                                     row0, write_gate)
+                    vc = _write_rows(vc, vq.transpose(0, 2, 1, 3), li, pos_vec,
+                                     row0, write_gate)
+                    ksc = _write_scale_rows(ksc, ks_new, li, pos_vec, row0,
+                                            write_gate)
+                    vsc = _write_scale_rows(vsc, vs_new, li, pos_vec, row0,
+                                            write_gate)
             elif not fused_write:
                 kc = _write_rows(kc, k.transpose(0, 2, 1, 3), li, pos_vec,
                                  row0, write_gate)
@@ -516,6 +521,14 @@ def make_layer_fn(cfg: ModelConfig, impl, b, t, pos_vec, cos, sin, *,
                 attn, kc, vc = decode_attention_fused_write(
                     q4, k[:, 0], v[:, 0], kc, vc, pos_vec,
                     cfg.attn_score_scale, li,
+                    interpret=jax.default_backend() != "tpu")
+            elif fused_write_q:
+                from llamatpu.ops.pallas_attention import \
+                    decode_attention_fused_write_q
+
+                attn, kc, vc, ksc, vsc = decode_attention_fused_write_q(
+                    q4, kq[:, 0], vq[:, 0], ks_new[:, 0], vs_new[:, 0],
+                    kc, vc, ksc, vsc, pos_vec, cfg.attn_score_scale, li,
                     interpret=jax.default_backend() != "tpu")
             else:
                 from llamatpu.ops.pallas_attention import decode_attention_auto

@@ -452,10 +452,15 @@ _WTILE = 32  # write-back tile rows: a multiple of every dtype's sublane
              # always Mosaic-legal
 
 
-def _fused_write_kernel(pos_pref, li_pref, *refs, scale, hpp):
-    # refs: q k_new v_new k v | o k_tile v_tile
+def _fused_write_kernel(pos_pref, li_pref, *refs, scale, hpp, quant):
+    # refs: q k_new v_new [ks_new vs_new] k v [ks vs] | o k_tile v_tile
+    #       [ks_row vs_row]
     del li_pref  # feeds the index maps only
-    q_ref, kn_ref, vn_ref, k_ref, v_ref, o_ref, ko_ref, vo_ref = refs
+    if quant:
+        (q_ref, kn_ref, vn_ref, ksn_ref, vsn_ref, k_ref, v_ref, ks_ref,
+         vs_ref, o_ref, ko_ref, vo_ref, kso_ref, vso_ref) = refs
+    else:
+        q_ref, kn_ref, vn_ref, k_ref, v_ref, o_ref, ko_ref, vo_ref = refs
     bi = pl.program_id(0)
     pos = pos_pref[bi]
     # start row of the _WTILE-row tile containing pos; multiple_of lets
@@ -465,7 +470,7 @@ def _fused_write_kernel(pos_pref, li_pref, *refs, scale, hpp):
     t0 = pl.multiple_of((pos >> 5) << 5, _WTILE)
     s = k_ref.shape[3]
     for i in range(hpp):
-        kn = kn_ref[0, i, 0]  # [hd]   (post-rope new key, activation dtype)
+        kn = kn_ref[0, i, 0]  # [hd]   (post-rope new key; int8 in quant mode)
         vn = vn_ref[0, i, 0]  # [vhd]
         k = k_ref[0, 0, i]
         v = v_ref[0, 0, i]
@@ -475,7 +480,15 @@ def _fused_write_kernel(pos_pref, li_pref, *refs, scale, hpp):
         row = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0)
         k_corr = jnp.where(row == pos, kn[None, :].astype(k.dtype), k)
         v_corr = jnp.where(row == pos, vn[None, :].astype(v.dtype), v)
-        o_ref[0, i] = _attend_one(q_ref[0, i], k_corr, v_corr, pos, scale)
+        ks = vs = None
+        if quant:  # correct + write back the [1, S] scale rows wholesale
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+            ks = jnp.where(col == pos, ksn_ref[0, i, 0, 0], ks_ref[0, 0, i])
+            vs = jnp.where(col == pos, vsn_ref[0, i, 0, 0], vs_ref[0, 0, i])
+            kso_ref[0, 0, i] = ks
+            vso_ref[0, 0, i] = vs
+        o_ref[0, i] = _attend_one(q_ref[0, i], k_corr, v_corr, pos, scale,
+                                  ks=ks, vs=vs)
         # write-back: only the 32-row tile containing `pos` returns to HBM
         # (the out block's index map points at it); all other rows of the
         # aliased cache buffer are untouched
@@ -548,7 +561,8 @@ def decode_attention_fused_write(q, k_new, v_new, kc, vc, pos_vec,
     # operand indices include the scalar-prefetch args: pos=0 li=1 q=2 kn=3
     # vn=4 kc=5 vc=6 -> outputs (attn=0, kc'=1, vc'=2)
     return pl.pallas_call(
-        functools.partial(_fused_write_kernel, scale=scale, hpp=hpp),
+        functools.partial(_fused_write_kernel, scale=scale, hpp=hpp,
+                          quant=False),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((b, kv, g, vhd), jnp.float32),
                    jax.ShapeDtypeStruct(kc.shape, kc.dtype),
@@ -558,6 +572,80 @@ def decode_attention_fused_write(q, k_new, v_new, kc, vc, pos_vec,
     )(pos_vec.astype(jnp.int32),
       jnp.asarray(layer_index, jnp.int32).reshape(1),
       q, k_new, v_new, kc, vc)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret", "hpp"))
+def decode_attention_fused_write_q(q, kq_new, vq_new, ks_new, vs_new,
+                                   kc, vc, k_scale, v_scale, pos_vec,
+                                   scale: float, layer_index,
+                                   interpret: bool = False,
+                                   hpp: int | None = None):
+    """Int8-KV fused KV-append + attention: replaces FOUR
+    dynamic_update_slice ops (int8 K/V rows + two scale entries) plus the
+    attention call with one pallas call per layer. kq_new/vq_new int8
+    [B, KV, hd|vhd] and ks_new/vs_new f32 [B, KV] come from
+    ops/kv_quant.quantize_kv (quantized OUTSIDE so the numerics match the
+    unfused path exactly); kc/vc int8 [L, B, KV, S, *];
+    k_scale/v_scale f32 [L, B, KV, 1, S]. Returns (attn, kc', vc', ks', vs')
+    with all four cache buffers aliased — the int8 tiles write back the
+    32-row tile containing pos, the scale rows write back whole [1, S] rows
+    (S f32 per head, trivial traffic, avoids dynamic LANE slicing which
+    Mosaic does not support)."""
+    b, kv, g, hd = q.shape
+    s, vhd = kc.shape[-2], vc.shape[-1]
+    assert s % _WTILE == 0, s
+    hpp = hpp or _pick_hpp(kv, s, hd, vhd, kc.dtype.itemsize)
+    kq_new = kq_new[:, :, None, :]
+    vq_new = vq_new[:, :, None, :]
+    ks_new = ks_new[:, :, None, None].astype(jnp.float32)
+    vs_new = vs_new[:, :, None, None].astype(jnp.float32)
+
+    def q_map(bi, hi, pp, li):
+        return (bi, hi, 0, 0)
+
+    def new_map(bi, hi, pp, li):
+        return (bi, hi, 0, 0)
+
+    def kv_map(bi, hi, pp, li):
+        return (li[0], bi, hi, 0, 0)
+
+    def tile_map(bi, hi, pp, li):
+        return (li[0], bi, hi, pp[bi] >> 5, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, kv // hpp),
+        in_specs=[pl.BlockSpec((1, hpp, g, hd), q_map),
+                  pl.BlockSpec((1, hpp, 1, hd), new_map),
+                  pl.BlockSpec((1, hpp, 1, vhd), new_map),
+                  pl.BlockSpec((1, hpp, 1, 1), new_map),
+                  pl.BlockSpec((1, hpp, 1, 1), new_map),
+                  pl.BlockSpec((1, 1, hpp, s, hd), kv_map),
+                  pl.BlockSpec((1, 1, hpp, s, vhd), kv_map),
+                  pl.BlockSpec((1, 1, hpp, 1, s), kv_map),
+                  pl.BlockSpec((1, 1, hpp, 1, s), kv_map)],
+        out_specs=[pl.BlockSpec((1, hpp, g, vhd), q_map),
+                   pl.BlockSpec((1, 1, hpp, _WTILE, hd), tile_map),
+                   pl.BlockSpec((1, 1, hpp, _WTILE, vhd), tile_map),
+                   pl.BlockSpec((1, 1, hpp, 1, s), kv_map),
+                   pl.BlockSpec((1, 1, hpp, 1, s), kv_map)],
+    )
+    # operands: pos=0 li=1 q=2 kqn=3 vqn=4 ksn=5 vsn=6 kc=7 vc=8 ks=9 vs=10
+    # -> outputs (attn=0, kc'=1, vc'=2, ks'=3, vs'=4)
+    return pl.pallas_call(
+        functools.partial(_fused_write_kernel, scale=scale, hpp=hpp,
+                          quant=True),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((b, kv, g, vhd), jnp.float32),
+                   jax.ShapeDtypeStruct(kc.shape, kc.dtype),
+                   jax.ShapeDtypeStruct(vc.shape, vc.dtype),
+                   jax.ShapeDtypeStruct(k_scale.shape, k_scale.dtype),
+                   jax.ShapeDtypeStruct(v_scale.shape, v_scale.dtype)],
+        input_output_aliases={7: 1, 8: 2, 9: 3, 10: 4},
+        interpret=interpret,
+    )(pos_vec.astype(jnp.int32),
+      jnp.asarray(layer_index, jnp.int32).reshape(1),
+      q, kq_new, vq_new, ks_new, vs_new, kc, vc, k_scale, v_scale)
 
 
 SPLIT_THRESHOLD_BYTES = 16384  # S * itemsize: full-stripe VMEM (K+V, double-

@@ -211,3 +211,42 @@ def test_fused_write_matches_write_then_attend():
             assert jnp.array_equal(kc3, kc2)
             assert jnp.array_equal(vc3, vc2)
             np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_fused_write_q_matches_write_then_attend():
+    """Int8-KV fused append+attend == quantize -> 4x dynamic_update_slice ->
+    decode_attention_q, bit-for-bit (same quantization outside the kernel,
+    same fold semantics inside)."""
+    import numpy as np
+    from llamatpu.ops.kv_quant import quantize_kv
+    from llamatpu.ops.pallas_attention import (decode_attention_fused_write_q,
+                                               decode_attention_q)
+
+    rng = np.random.default_rng(12)
+    L, B, KV, G, S, HD = 2, 2, 4, 2, 96, 64
+    for pos_list in ([5, 37], [31, 32], [0, S - 1]):
+        kc = jnp.asarray(rng.integers(-127, 128, (L, B, KV, S, HD)), jnp.int8)
+        vc = jnp.asarray(rng.integers(-127, 128, (L, B, KV, S, HD)), jnp.int8)
+        ksc = jnp.asarray(rng.random((L, B, KV, 1, S)), jnp.float32) * 0.02
+        vsc = jnp.asarray(rng.random((L, B, KV, 1, S)), jnp.float32) * 0.02
+        q = jnp.asarray(rng.standard_normal((B, KV, G, HD)), jnp.float32)
+        kn = jnp.asarray(rng.standard_normal((B, KV, HD)), jnp.float32)
+        vn = jnp.asarray(rng.standard_normal((B, KV, HD)), jnp.float32)
+        kq, ks = quantize_kv(kn)
+        vq, vs = quantize_kv(vn)
+        pos = jnp.asarray(pos_list, jnp.int32)
+        li = 1
+        kc2, vc2, ksc2, vsc2 = kc, vc, ksc, vsc
+        for b in range(B):
+            kc2 = kc2.at[li, b, :, pos[b]].set(kq[b])
+            vc2 = vc2.at[li, b, :, pos[b]].set(vq[b])
+            ksc2 = ksc2.at[li, b, :, 0, pos[b]].set(ks[b])
+            vsc2 = vsc2.at[li, b, :, 0, pos[b]].set(vs[b])
+        ref = decode_attention_q(q, kc2, vc2, ksc2, vsc2, pos, 0.125,
+                                 interpret=True, layer_index=li)
+        out, kc3, vc3, ksc3, vsc3 = decode_attention_fused_write_q(
+            q, kq, vq, ks, vs, kc, vc, ksc, vsc, pos, 0.125, li,
+            interpret=True)
+        assert jnp.array_equal(kc3, kc2) and jnp.array_equal(vc3, vc2)
+        assert jnp.array_equal(ksc3, ksc2) and jnp.array_equal(vsc3, vsc2)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
