@@ -77,9 +77,20 @@ def physical_cache_len(logical: int, prefill_chunk: int) -> int:
     positions and corrupt the cache (bug found via prefix-cache warm/cold
     divergence) — slack positions make the write always in-bounds instead.
     Slack is one granule (not a whole prefill chunk) to keep the decode
-    attention stripe close to the logical length."""
+    attention stripe close to the logical length.
+
+    Long caches round up to a 1024 multiple: past the full-stripe kernel's
+    VMEM ceiling the splitKV decode kernel tiles S with the largest
+    power-of-two divisor (ops/pallas_attention._pick_tile), and an unaligned
+    physical length forces 128-256-row tiles — 4-8x the grid steps, each
+    well under the 1.5-2.25 MB DMA sweet spot (scripts/bench_dma_sweep.py).
+    The rounding costs <=1023 slack rows of HBM (~30 MB at 1B geometry,
+    never attended) and buys 1024-row tiles."""
     granule = min(prefill_chunk, PAD_GRANULE)
-    return -(-(logical + granule) // 8) * 8  # sublane-aligned
+    phys = -(-(logical + granule) // 8) * 8  # sublane-aligned
+    if phys > 8192:
+        phys = -(-phys // 1024) * 1024
+    return phys
 
 
 def pad_chunk_len(real: int, prefill_chunk: int) -> int:

@@ -98,3 +98,57 @@ print(json.dumps({"bench": "mega-smoke", "model": "llama32-1b",
 PYEOF
 
 step done2
+
+step longctx-probe  # 11.2 tok/s @16k is ~30x under roofline — localize:
+                    # attention-only loop at depth vs the engine number
+$R 2 3000 python - <<'PYEOF'
+import sys, time
+sys.path.insert(0, ".")
+import jax, jax.numpy as jnp, numpy as np
+
+L, KV, G, hd, S = 16, 8, 4, 64, 17152
+pos = 16384
+kc = jnp.zeros((L, 1, KV, S, hd), jnp.bfloat16)
+vc = jnp.zeros((L, 1, KV, S, hd), jnp.bfloat16)
+q = jnp.ones((1, KV, G, hd), jnp.bfloat16)
+pv = jnp.asarray([pos], jnp.int32)
+
+from llamatpu.ops.pallas_attention import decode_attention_auto
+
+@jax.jit
+def attn_all_layers(q, kc, vc, pv):
+    def body(i, acc):
+        a = decode_attention_auto(q, kc, vc, pv, 0.125, layer_index=i)
+        return acc + jnp.sum(a)
+    return jax.lax.fori_loop(0, L, body, jnp.float32(0))
+
+r = attn_all_layers(q, kc, vc, pv); r.block_until_ready()
+t0 = time.perf_counter()
+REP = 20
+for _ in range(REP):
+    r = attn_all_layers(q, kc, vc, pv)
+np_r = jax.device_get(r)
+dt = (time.perf_counter() - t0) / REP
+print(f"attention-only 16 layers @ depth {pos}: {dt*1e3:.2f} ms/step "
+      f"({KV*S*(hd+hd)*2*L/dt/1e9:.0f} GB/s stripe incl. slack)", flush=True)
+
+# and the write path: 2 dynamic_update_slice per layer at depth
+@jax.jit
+def writes_all_layers(kc, vc, pv):
+    def body(i, c):
+        kc_, vc_ = c
+        new = jnp.ones((1, 1, KV, 1, hd), jnp.bfloat16)
+        kc_ = jax.lax.dynamic_update_slice(kc_, new, (i, 0, 0, pv[0], 0))
+        vc_ = jax.lax.dynamic_update_slice(vc_, new, (i, 0, 0, pv[0], 0))
+        return (kc_, vc_)
+    return jax.lax.fori_loop(0, L, body, (kc, vc))
+
+kc2, vc2 = writes_all_layers(kc, vc, pv)
+jax.block_until_ready(kc2)
+t0 = time.perf_counter()
+for _ in range(REP):
+    kc2, vc2 = writes_all_layers(kc2, vc2, pv)
+s = jax.device_get(jnp.sum(kc2[0, 0, 0, pos]))
+dt = (time.perf_counter() - t0) / REP
+print(f"writes-only 16 layers @ depth {pos}: {dt*1e3:.2f} ms/step", flush=True)
+PYEOF
