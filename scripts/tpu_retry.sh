@@ -13,7 +13,7 @@ for i in $(seq 1 "$tries"); do
   timeout "$per" "$@" && exit 0
   code=$?
   echo "=== attempt $i exited $code; retrying ===" >&2
-  if [ "$code" = 124 ] || [ "$code" = 137 ]; then
+  if [ "$code" = 124 ] || [ "$code" = 137 ] || [ "$code" = 143 ]; then
     # timeout KILLED the client: the relay wedges the grant for ~5 min
     # ("grant unclaimed past timeout", CLAUDE.md) — retrying sooner just burns
     # the next attempt's budget blocked on the claim handshake
