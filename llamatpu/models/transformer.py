@@ -85,9 +85,16 @@ def physical_cache_len(logical: int, prefill_chunk: int) -> int:
     physical length forces 128-256-row tiles — 4-8x the grid steps, each
     well under the 1.5-2.25 MB DMA sweet spot (scripts/bench_dma_sweep.py).
     The rounding costs <=1023 slack rows of HBM (~30 MB at 1B geometry,
-    never attended) and buys 1024-row tiles."""
+    never attended) and buys 1024-row tiles.
+
+    Short caches round to 32 (not just the 8-sublane minimum) so the fused
+    KV-append attention kernels' `S % 32 == 0` write-tile requirement holds
+    for EVERY logical length — with 8-alignment the fused path silently
+    disengaged for lengths like 1000 (phys 1064), making fused coverage
+    depend on the user's context length (advisor finding, r4). Slack rows
+    are already tolerated by the masking invariant."""
     granule = min(prefill_chunk, PAD_GRANULE)
-    phys = -(-(logical + granule) // 8) * 8  # sublane-aligned
+    phys = -(-(logical + granule) // 32) * 32  # fused-write tile aligned
     if phys > 8192:
         phys = -(-phys // 1024) * 1024
     return phys
@@ -418,16 +425,23 @@ def make_layer_fn(cfg: ModelConfig, impl, b, t, pos_vec, cos, sin, *,
         # PERF.md launch-residual lever). Dense bf16/f32 stacked caches whose
         # stripe fits the full-stripe kernel; int8-KV / long-context / gated
         # (pipeline) writes keep the unfused path.
-        fused_write = fused_write_q = False
+        fused_write = fused_write_q = fused_split = False
         if use_stacked and not paged and write_gate is None:
             import os
 
-            from llamatpu.ops.pallas_attention import SPLIT_THRESHOLD_BYTES
+            from llamatpu.ops.pallas_attention import (SPLIT_THRESHOLD_BYTES,
+                                                       _pick_tile)
 
             s_phys = kc.shape[3]
-            ok = (s_phys % 32 == 0 and
-                  s_phys * kc.dtype.itemsize < SPLIT_THRESHOLD_BYTES
+            long_cache = s_phys * kc.dtype.itemsize >= SPLIT_THRESHOLD_BYTES
+            ok = (s_phys % 32 == 0
                   and not os.environ.get("LLAMATPU_NO_FUSED_ATTN"))
+            if long_cache:
+                # long caches fuse the append into the splitKV kernel —
+                # killing the per-layer dynamic_update_slice thunks that
+                # dominate deep decode (61 ms/step of writes measured at
+                # depth 16k, r4c probe)
+                fused_split = ok = ok and _pick_tile(s_phys) >= 128
             fused_write = ok and not quantized
             fused_write_q = ok and quantized
         row0 = batch_offset
@@ -496,8 +510,8 @@ def make_layer_fn(cfg: ModelConfig, impl, b, t, pos_vec, cos, sin, *,
 
         if use_stacked:
             q4 = q.reshape(b, kv, g, cfg.head_dim)
-            if (fused_write and b == 1 and tp_axis is None and not cfg.is_moe
-                    and slw is not None and li is not None
+            if (fused_write and not fused_split and b == 1 and tp_axis is None
+                    and not cfg.is_moe and slw is not None and li is not None
                     and "wo" in lw and "w13" in lw):
                 import os as _os
 
@@ -525,6 +539,14 @@ def make_layer_fn(cfg: ModelConfig, impl, b, t, pos_vec, cos, sin, *,
                     q4, kc, vc, tables, pos_vec, cfg.attn_score_scale,
                     k_scale=ksc, v_scale=vsc, layer_index=li,
                     interpret=jax.default_backend() != "tpu")
+            elif fused_write and fused_split:
+                from llamatpu.ops.pallas_attention import (
+                    _pick_tile, decode_attention_split_fused_write)
+
+                attn, kc, vc = decode_attention_split_fused_write(
+                    q4, k[:, 0], v[:, 0], kc, vc, pos_vec,
+                    cfg.attn_score_scale, li, s_tile=_pick_tile(kc.shape[3]),
+                    interpret=jax.default_backend() != "tpu")
             elif fused_write:
                 from llamatpu.ops.pallas_attention import \
                     decode_attention_fused_write
@@ -532,6 +554,15 @@ def make_layer_fn(cfg: ModelConfig, impl, b, t, pos_vec, cos, sin, *,
                 attn, kc, vc = decode_attention_fused_write(
                     q4, k[:, 0], v[:, 0], kc, vc, pos_vec,
                     cfg.attn_score_scale, li,
+                    interpret=jax.default_backend() != "tpu")
+            elif fused_write_q and fused_split:
+                from llamatpu.ops.pallas_attention import (
+                    _pick_tile, decode_attention_split_fused_write_q)
+
+                attn, kc, vc, ksc, vsc = decode_attention_split_fused_write_q(
+                    q4, kq[:, 0], vq[:, 0], ks_new[:, 0], vs_new[:, 0],
+                    kc, vc, ksc, vsc, pos_vec, cfg.attn_score_scale, li,
+                    s_tile=_pick_tile(kc.shape[3]),
                     interpret=jax.default_backend() != "tpu")
             elif fused_write_q:
                 from llamatpu.ops.pallas_attention import \

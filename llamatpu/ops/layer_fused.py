@@ -648,24 +648,57 @@ def _attn_tail_2d(wo_qs, wo_s, w13_qs, w13_s, w2_qs, w2_s, nw, q4, kn, vn,
     return (y[:t] if tp != t else y), kc2, vc2
 
 
+_V3_LIMIT = 16 * 1024 * 1024        # Mosaic's scoped-vmem hard limit
+_V3_STACK = int(3.5 * 1024 * 1024)  # kernel-stack margin: the unrolled
+                                    # per-head attention phase holds f32
+                                    # K/V-cast + score temporaries Mosaic
+                                    # allocates on the scoped stack (r4c chip
+                                    # OOM: est 12.0M vs actual 17.54M — the
+                                    # residual beyond lane padding)
+
+
+def _lane_pad(n: int) -> int:
+    return -(-n // 128) * 128
+
+
 def _fit_attn_tail(t, d, hdim, o13, f, kvh, g, vhd, hd, S, kv_itemsize,
                    xbytes):
     """(towo, to13, to2, s_tile) fitting the tail tiles + both KV tile
-    streams + attention scratches in VMEM, or None."""
-    base = _fit_tail_tiles(t, d, hdim, o13, f, xbytes)
-    if base is None:
+    streams + attention scratches inside Mosaic's 16M scoped-vmem limit, or
+    None. Unlike _fit_tail_tiles this accounts LANE PADDING: the wo4 view's
+    last dim is vhd (64 for most models) and Mosaic pads every block's lane
+    dim to 128 — the wo blocks really cost 2x their logical bytes, as do the
+    K/V s_tile blocks and write tiles (r4c chip OOM at llama-1b S=1152)."""
+    towo, to13, to2 = _pick_to(d, hdim), _pick_to(o13, d), _pick_to(d, f)
+    if not (towo and to13 and to2):
         return None
-    towo, to13, to2 = base
     tp = -(-t // 8) * 8
+    kv_pad = _lane_pad(hd) + _lane_pad(vhd)
+
+    def need(towo_, to13_, to2_, s_tile):
+        est = _tail_vmem(tp, d, hdim, o13, f, towo_, to13_, to2_, xbytes,
+                         xbytes)
+        est += 2 * towo_ * kvh * g * (_lane_pad(vhd) - vhd)   # wo4 lane pad
+        est += 2 * kvh * s_tile * kv_pad * kv_itemsize        # K+V blocks, 2x
+        est += 2 * kvh * 32 * kv_pad * kv_itemsize            # write tiles
+        est += 3 * kvh * g * 128 * 4 + kvh * g * _lane_pad(vhd) * 4  # m/l/acc
+        est += 2 * kvh * (_lane_pad(hd) + _lane_pad(vhd)) * xbytes   # kn/vn
+        return est + _V3_STACK
+
+    order = ["wo", "w2", "w13"]
     for s_tile in (512, 256, 128, 64, 32):
         if S % s_tile:
             continue
-        extra = (2 * kvh * s_tile * (hd + vhd) * kv_itemsize  # K+V blocks, 2x
-                 + 3 * kvh * g * 128 * 4 + kvh * g * vhd * 4  # m/l/acc
-                 + 2 * kvh * 32 * (hd + vhd) * kv_itemsize)   # write tiles
-        if (_tail_vmem(tp, d, hdim, o13, f, towo, to13, to2, xbytes, xbytes)
-                + extra <= _VMEM_BUDGET):
-            return towo, to13, to2, s_tile
+        cur = {"wo": towo, "w13": to13, "w2": to2}
+        while need(cur["wo"], cur["w13"], cur["w2"], s_tile) > _V3_LIMIT:
+            for name in order:
+                if cur[name] > 128 and (cur[name] // 2) % 128 == 0:
+                    cur[name] //= 2
+                    break
+            else:
+                break  # all tiles at minimum; try a smaller s_tile
+        if need(cur["wo"], cur["w13"], cur["w2"], s_tile) <= _V3_LIMIT:
+            return cur["wo"], cur["w13"], cur["w2"], s_tile
     return None
 
 

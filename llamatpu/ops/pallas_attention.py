@@ -194,12 +194,27 @@ def decode_attention_q(q, kc, vc, k_scale, v_scale, pos_vec, scale: float,
 # splitKV kernels: online softmax over S tiles, DMA clamped to pos
 # ---------------------------------------------------------------------------
 
-def _split_kernel(pos_pref, *refs, scale, s_tile, stacked, quant, hpp=1):
+def _split_kernel(pos_pref, *refs, scale, s_tile, stacked, quant, hpp=1,
+                  fused=False, shift=0):
     # hpp kv heads per program share one grid walk over the S tiles; each
-    # head's online-softmax state lives in its row band of the shared scratch
+    # head's online-softmax state lives in its row band of the shared scratch.
+    # fused mode (long-cache analog of _fused_write_kernel): kn/vn carry this
+    # token's post-RoPE K/V — the stale cache row is corrected in-register
+    # before the dots and only the 32-row tile containing pos (plus, in quant
+    # mode, the visited scale tiles) is written back through aliased outputs.
     if stacked:
         refs = refs[1:]
-    if quant:
+    kn_ref = vn_ref = ksn_ref = vsn_ref = ko_ref = vo_ref = None
+    kso_ref = vso_ref = None
+    if fused and quant:
+        (q_ref, kn_ref, vn_ref, ksn_ref, vsn_ref, k_ref, v_ref, ks_ref,
+         vs_ref, o_ref, ko_ref, vo_ref, kso_ref, vso_ref,
+         m_ref, l_ref, acc_ref) = refs
+    elif fused:
+        (q_ref, kn_ref, vn_ref, k_ref, v_ref, o_ref, ko_ref, vo_ref,
+         m_ref, l_ref, acc_ref) = refs
+        ks_ref = vs_ref = None
+    elif quant:
         q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = refs
     else:
         q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref = refs
@@ -224,13 +239,37 @@ def _split_kernel(pos_pref, *refs, scale, s_tile, stacked, quant, hpp=1):
         for i in range(hpp):
             band = slice(i * g, (i + 1) * g)
             q = q_ref[0, i].astype(jnp.float32)
-            k = k_ref[kv_ix + (i,)].astype(jnp.float32)
-            v = v_ref[kv_ix + (i,)].astype(jnp.float32)
+            k = k_ref[kv_ix + (i,)]
+            v = v_ref[kv_ix + (i,)]
+            if fused:
+                # replace the stale row `pos` in-register (true only in the
+                # tile that contains it): the dots see exactly what the
+                # unfused write-then-attend path reads back from the cache
+                rel = jax.lax.broadcasted_iota(jnp.int32, (s_tile, 1), 0) + start
+                kn = kn_ref[0, i, 0]
+                vn = vn_ref[0, i, 0]
+                k = jnp.where(rel == pos, kn[None, :].astype(k.dtype), k)
+                v = jnp.where(rel == pos, vn[None, :].astype(v.dtype), v)
+            k = k.astype(jnp.float32)
+            v = v.astype(jnp.float32)
+            if quant:
+                ks_row = ks_ref[kv_ix + (i, 0)]  # [s_tile]
+                vs_row = vs_ref[kv_ix + (i, 0)]
+                if fused:
+                    col = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, s_tile), 1) + start
+                    ks_row = jnp.where(col == pos, ksn_ref[0, i, 0, 0],
+                                       ks_row[None, :])[0]
+                    vs_row = jnp.where(col == pos, vsn_ref[0, i, 0, 0],
+                                       vs_row[None, :])[0]
+                    # scale rows flush per visited tile (clamped out map)
+                    kso_ref[0, 0, i] = ks_row[None, :]
+                    vso_ref[0, 0, i] = vs_row[None, :]
             scores = jax.lax.dot_general(
                 q, k, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
             if quant:
-                scores = scores * ks_ref[kv_ix + (i, 0)][None, :]
+                scores = scores * ks_row[None, :]
             s_idx = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + start
             scores = jnp.where(s_idx <= pos, scores, NEG_INF)
             # lanes of m/l are replicated, so a lane-max is a read
@@ -241,12 +280,31 @@ def _split_kernel(pos_pref, *refs, scale, s_tile, stacked, quant, hpp=1):
             e = jnp.exp(scores - m_new)
             l_new = l_prev * alpha + jnp.sum(e, axis=1, keepdims=True)
             # v-scale folds into the att.V dot only — NOT the denominator
-            ev = e * vs_ref[kv_ix + (i, 0)][None, :] if quant else e
+            ev = e * vs_row[None, :] if quant else e
             acc_ref[band] = acc_ref[band] * alpha + jax.lax.dot_general(
                 ev, v, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             m_ref[band] = jnp.broadcast_to(m_new, (g, m_ref.shape[1]))
             l_ref[band] = jnp.broadcast_to(l_new, (g, l_ref.shape[1]))
+
+    if fused:
+        # write-back: this grid step owns the 32-row tile containing pos; the
+        # ko/vo out blocks' index maps are constant per (bi, hi) program, so
+        # the buffer written here flushes once at program end
+        @pl.when(ti == (pos >> shift))
+        def _writeback():
+            t0 = pl.multiple_of(((pos >> 5) << 5) - start, _WTILE)
+            rel32 = (jax.lax.broadcasted_iota(jnp.int32, (_WTILE, 1), 0)
+                     + start + t0)
+            for i in range(hpp):
+                kn = kn_ref[0, i, 0]
+                vn = vn_ref[0, i, 0]
+                k_tile = k_ref[kv_ix + (i, pl.ds(t0, _WTILE))]
+                v_tile = v_ref[kv_ix + (i, pl.ds(t0, _WTILE))]
+                ko_ref[0, 0, i] = jnp.where(
+                    rel32 == pos, kn[None, :].astype(k_tile.dtype), k_tile)
+                vo_ref[0, 0, i] = jnp.where(
+                    rel32 == pos, vn[None, :].astype(v_tile.dtype), v_tile)
 
     @pl.when(ti == nt - 1)
     def _finalize():
@@ -346,6 +404,141 @@ def decode_attention_split_q(q, kc, vc, k_scale, v_scale, pos_vec, scale: float,
     return _split_call(q, kc, vc, pos_vec, scale, s_tile=s_tile,
                        interpret=interpret, layer_index=layer_index,
                        k_scale=k_scale, v_scale=v_scale, hpp=hpp)
+
+
+def _split_fused_call(q, k_new, v_new, kc, vc, pos_vec, scale, layer_index, *,
+                      s_tile, interpret, hpp, ks_new=None, vs_new=None,
+                      k_scale=None, v_scale=None):
+    """Shared wrapper for the fused-append split kernels (stacked cache only).
+    Returns (attn, kc', vc'[, ks', vs']) with the cache buffers aliased."""
+    b, kv, g, hd = q.shape
+    s = kc.shape[-2]
+    vhd = vc.shape[-1]
+    quant = k_scale is not None
+    assert s % s_tile == 0 and s % _WTILE == 0, (s, s_tile)
+    assert s_tile & (s_tile - 1) == 0, s_tile
+    shift = s_tile.bit_length() - 1
+    nt = s // s_tile
+    k_new = k_new[:, :, None, :]
+    v_new = v_new[:, :, None, :]
+    if quant:
+        ks_new = ks_new[:, :, None, None].astype(jnp.float32)
+        vs_new = vs_new[:, :, None, None].astype(jnp.float32)
+
+    def q_map(bi, hi, ti, pp, li):
+        return (bi, hi, 0, 0)
+
+    def new_map(bi, hi, ti, pp, li):
+        return (bi, hi, 0, 0)
+
+    def kv_map(bi, hi, ti, pp, li):
+        return (li[0], bi, hi, jnp.minimum(ti, pp[bi] >> shift), 0)
+
+    def sc_map(bi, hi, ti, pp, li):
+        return (li[0], bi, hi, 0, jnp.minimum(ti, pp[bi] >> shift))
+
+    def tile_map(bi, hi, ti, pp, li):
+        return (li[0], bi, hi, pp[bi] >> 5, 0)
+
+    in_specs = [pl.BlockSpec((1, hpp, g, hd), q_map),
+                pl.BlockSpec((1, hpp, 1, hd), new_map),
+                pl.BlockSpec((1, hpp, 1, vhd), new_map)]
+    args = [q, k_new, v_new]
+    if quant:
+        in_specs += [pl.BlockSpec((1, hpp, 1, 1), new_map)] * 2
+        args += [ks_new, vs_new]
+    in_specs += [pl.BlockSpec((1, 1, hpp, s_tile, hd), kv_map),
+                 pl.BlockSpec((1, 1, hpp, s_tile, vhd), kv_map)]
+    args += [kc, vc]
+    out_specs = [pl.BlockSpec((1, hpp, g, vhd), q_map),
+                 pl.BlockSpec((1, 1, hpp, _WTILE, hd), tile_map),
+                 pl.BlockSpec((1, 1, hpp, _WTILE, vhd), tile_map)]
+    out_shape = [jax.ShapeDtypeStruct((b, kv, g, vhd), jnp.float32),
+                 jax.ShapeDtypeStruct(kc.shape, kc.dtype),
+                 jax.ShapeDtypeStruct(vc.shape, vc.dtype)]
+    if quant:
+        in_specs += [pl.BlockSpec((1, 1, hpp, 1, s_tile), sc_map)] * 2
+        args += [k_scale, v_scale]
+        out_specs += [pl.BlockSpec((1, 1, hpp, 1, s_tile), sc_map)] * 2
+        out_shape += [jax.ShapeDtypeStruct(k_scale.shape, k_scale.dtype),
+                      jax.ShapeDtypeStruct(v_scale.shape, v_scale.dtype)]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, kv // hpp, nt),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((hpp * g, 128), jnp.float32),
+            pltpu.VMEM((hpp * g, 128), jnp.float32),
+            pltpu.VMEM((hpp * g, vhd), jnp.float32),
+        ],
+    )
+    # operand indices incl. scalar prefetch — bf16: pos=0 li=1 q=2 kn=3 vn=4
+    # kc=5 vc=6; quant: ... ksn=5 vsn=6 kc=7 vc=8 ks=9 vs=10
+    aliases = ({7: 1, 8: 2, 9: 3, 10: 4} if quant else {5: 1, 6: 2})
+    return pl.pallas_call(
+        functools.partial(_split_kernel, scale=scale, s_tile=s_tile,
+                          stacked=True, quant=quant, hpp=hpp, fused=True,
+                          shift=shift),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(pos_vec.astype(jnp.int32),
+      jnp.asarray(layer_index, jnp.int32).reshape(1), *args)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "s_tile", "interpret",
+                                             "hpp"))
+def decode_attention_split_fused_write(q, k_new, v_new, kc, vc, pos_vec,
+                                       scale: float, layer_index,
+                                       s_tile: int = 1024,
+                                       interpret: bool = False,
+                                       hpp: int | None = None):
+    """Fused KV-append + splitKV decode attention over the STACKED cache —
+    the long-context analog of `decode_attention_fused_write`. At 16k+
+    positions the unfused path's two dynamic_update_slice thunks per layer
+    dominate the decode step (61 ms/step of writes measured at depth 16384 on
+    chip, r4c longctx probe — XLA materializes cache copies); here the append
+    rides the attention kernel's aliased output: only the 32-row tile
+    containing pos (per kv head) returns to HBM.
+
+    Same numerics as write-then-attend with `decode_attention_split` (the
+    stale row is corrected in-register before the dots). kc/vc stacked
+    [L, B, KV, S, hd|vhd], S % s_tile == 0, s_tile a power of two >= 32.
+    Returns (attn [B, KV, G, vhd] f32, kc', vc') with kc'/vc' aliasing kc/vc.
+    Reference analog: splitKV + combine
+    (TransformerComputeKernelsLayered.java:1245-1433) — which still writes KV
+    through a separate copyToCache kernel; this fuses both."""
+    kv = q.shape[1]
+    hpp = hpp or _pick_hpp(kv, s_tile, q.shape[3], vc.shape[-1],
+                           kc.dtype.itemsize)
+    return _split_fused_call(q, k_new, v_new, kc, vc, pos_vec, scale,
+                             layer_index, s_tile=s_tile, interpret=interpret,
+                             hpp=hpp)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "s_tile", "interpret",
+                                             "hpp"))
+def decode_attention_split_fused_write_q(q, kq_new, vq_new, ks_new, vs_new,
+                                         kc, vc, k_scale, v_scale, pos_vec,
+                                         scale: float, layer_index,
+                                         s_tile: int = 1024,
+                                         interpret: bool = False,
+                                         hpp: int | None = None):
+    """Int8-KV fused KV-append + splitKV attention: replaces FOUR
+    dynamic_update_slice thunks per layer plus the attention call. Inputs as
+    `decode_attention_fused_write_q` but over the tiled long-cache path; the
+    int8 K/V write-back is the 32-row tile containing pos, the [1, s_tile]
+    scale tiles are rewritten per visited tile (trivial traffic; Mosaic has
+    no dynamic lane slicing). Returns (attn, kc', vc', ks', vs') aliased."""
+    kv = q.shape[1]
+    hpp = hpp or _pick_hpp(kv, s_tile, q.shape[3], vc.shape[-1],
+                           kc.dtype.itemsize)
+    return _split_fused_call(q, kq_new, vq_new, kc, vc, pos_vec, scale,
+                             layer_index, s_tile=s_tile, interpret=interpret,
+                             hpp=hpp, ks_new=ks_new, vs_new=vs_new,
+                             k_scale=k_scale, v_scale=v_scale)
 
 
 # ---------------------------------------------------------------------------
@@ -522,8 +715,9 @@ def decode_attention_fused_write(q, k_new, v_new, kc, vc, pos_vec,
     dots, so the result is bit-identical to write-then-attend). Reads the
     full physical stripe (slack rows cost ~1% of the step's weight bytes;
     positions past pos are masked), so parked-lane writes at slack rows are
-    safe. bf16/f32 cache only (int8-KV keeps the unfused path); long caches
-    (>= SPLIT_THRESHOLD_BYTES) use the split kernel unfused."""
+    safe. bf16/f32 cache only (int8-KV uses the `decode_attention_fused_write_q`
+    variant); long caches (>= SPLIT_THRESHOLD_BYTES) use
+    `decode_attention_split_fused_write[_q]` — same fusion over S tiles."""
     b, kv, g, hd = q.shape
     s, vhd = kc.shape[-2], vc.shape[-1]
     assert s % _WTILE == 0, s

@@ -250,3 +250,79 @@ def test_fused_write_q_matches_write_then_attend():
         assert jnp.array_equal(kc3, kc2) and jnp.array_equal(vc3, vc2)
         assert jnp.array_equal(ksc3, ksc2) and jnp.array_equal(vsc3, vsc2)
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_split_fused_write_matches_write_then_attend():
+    """decode_attention_split_fused_write (long-context append fusion):
+    appending inside the splitKV kernel must be BIT-identical to dus-write ->
+    decode_attention_split (same tile walk, same operands), and the aliased
+    cache outputs must equal the dus write — across cache dtypes, positions
+    at tile boundaries / write-tile boundaries / first / last slot."""
+    import numpy as np
+    from llamatpu.ops.pallas_attention import (
+        decode_attention_split, decode_attention_split_fused_write)
+
+    rng = np.random.default_rng(13)
+    L, B, KV, G, S, HD, TILE = 3, 2, 2, 2, 256, 64, 64
+    for dtype in (jnp.float32, jnp.bfloat16):
+        for pos_list in ([5, 37], [63, 64], [31, 32], [0, S - 1], [200, 130]):
+            kc = jnp.asarray(rng.standard_normal((L, B, KV, S, HD)), dtype)
+            vc = jnp.asarray(rng.standard_normal((L, B, KV, S, HD)), dtype)
+            q = jnp.asarray(rng.standard_normal((B, KV, G, HD)), jnp.float32)
+            kn = jnp.asarray(rng.standard_normal((B, KV, HD)), jnp.float32)
+            vn = jnp.asarray(rng.standard_normal((B, KV, HD)), jnp.float32)
+            pos = jnp.asarray(pos_list, jnp.int32)
+            li = 2
+            kc2, vc2 = kc, vc
+            for b in range(B):
+                kc2 = kc2.at[li, b, :, pos[b]].set(kn[b].astype(dtype))
+                vc2 = vc2.at[li, b, :, pos[b]].set(vn[b].astype(dtype))
+            ref = decode_attention_split(q, kc2, vc2, pos, 0.125, s_tile=TILE,
+                                         interpret=True, layer_index=li)
+            out, kc3, vc3 = decode_attention_split_fused_write(
+                q, kn, vn, kc, vc, pos, 0.125, li, s_tile=TILE,
+                interpret=True)
+            assert jnp.array_equal(kc3, kc2)
+            assert jnp.array_equal(vc3, vc2)
+            np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_split_fused_write_q_matches_write_then_attend():
+    """Int8-KV split fused append == quantize -> 4x dus -> split attention,
+    bit-for-bit; the aliased int8 tiles AND scale rows must match the dus
+    writes (scale tiles are rewritten per visited tile — untouched tiles past
+    the clamp must survive)."""
+    import numpy as np
+    from llamatpu.ops.kv_quant import quantize_kv
+    from llamatpu.ops.pallas_attention import (
+        decode_attention_split_fused_write_q, decode_attention_split_q)
+
+    rng = np.random.default_rng(14)
+    L, B, KV, G, S, HD, TILE = 2, 2, 2, 2, 256, 64, 64
+    for pos_list in ([5, 37], [63, 64], [0, S - 1], [200, 130]):
+        kc = jnp.asarray(rng.integers(-127, 128, (L, B, KV, S, HD)), jnp.int8)
+        vc = jnp.asarray(rng.integers(-127, 128, (L, B, KV, S, HD)), jnp.int8)
+        ksc = jnp.asarray(rng.random((L, B, KV, 1, S)), jnp.float32) * 0.02
+        vsc = jnp.asarray(rng.random((L, B, KV, 1, S)), jnp.float32) * 0.02
+        q = jnp.asarray(rng.standard_normal((B, KV, G, HD)), jnp.float32)
+        kn = jnp.asarray(rng.standard_normal((B, KV, HD)), jnp.float32)
+        vn = jnp.asarray(rng.standard_normal((B, KV, HD)), jnp.float32)
+        kq, ks = quantize_kv(kn)
+        vq, vs = quantize_kv(vn)
+        pos = jnp.asarray(pos_list, jnp.int32)
+        li = 1
+        kc2, vc2, ksc2, vsc2 = kc, vc, ksc, vsc
+        for b in range(B):
+            kc2 = kc2.at[li, b, :, pos[b]].set(kq[b])
+            vc2 = vc2.at[li, b, :, pos[b]].set(vq[b])
+            ksc2 = ksc2.at[li, b, :, 0, pos[b]].set(ks[b])
+            vsc2 = vsc2.at[li, b, :, 0, pos[b]].set(vs[b])
+        ref = decode_attention_split_q(q, kc2, vc2, ksc2, vsc2, pos, 0.125,
+                                       s_tile=TILE, interpret=True,
+                                       layer_index=li)
+        out, kc3, vc3, ksc3, vsc3 = decode_attention_split_fused_write_q(
+            q, kq, vq, ks, vs, kc, vc, ksc, vsc, pos, 0.125, li, s_tile=TILE,
+            interpret=True)
+        assert jnp.array_equal(kc3, kc2) and jnp.array_equal(vc3, vc2)
+        assert jnp.array_equal(ksc3, ksc2) and jnp.array_equal(vsc3, vsc2)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
