@@ -81,14 +81,26 @@ class _Cursor:
         self.buf = buf
         self.pos = 0
 
-    def read(self, fmt: str):
+    def _need(self, n: int, what: str) -> None:
+        # every read is bounds-checked so a truncated/corrupt file fails with
+        # a diagnosable error instead of struct.error or a silently short
+        # string slice (parser semantics of the reference's readGGUF,
+        # tensor/GGUF.java:276-311, which reads through a checked channel)
+        if n < 0 or self.pos + n > len(self.buf):
+            raise ValueError(
+                f"truncated GGUF: need {n} bytes for {what} at offset "
+                f"{self.pos}, file has {len(self.buf)}")
+
+    def read(self, fmt: str, what: str = "value"):
         size = struct.calcsize(fmt)
+        self._need(size, what)
         (val,) = struct.unpack_from(fmt, self.buf, self.pos)
         self.pos += size
         return val
 
     def read_string(self) -> str:
-        n = self.read("<Q")
+        n = self.read("<Q", "string length")
+        self._need(n, "string")
         s = bytes(self.buf[self.pos : self.pos + n]).decode("utf-8", errors="replace")
         self.pos += n
         return s
@@ -97,17 +109,21 @@ class _Cursor:
         if vtype == GGUFValueType.STRING:
             return self.read_string()
         if vtype == GGUFValueType.BOOL:
-            return self.read("<B") != 0
+            return self.read("<B", "bool") != 0
         if vtype == GGUFValueType.ARRAY:
-            etype = self.read("<I")
-            count = self.read("<Q")
+            etype = self.read("<I", "array element type")
+            count = self.read("<Q", "array count")
             if etype in _SCALAR_FMT:
                 fmt = _SCALAR_FMT[etype]
                 size = struct.calcsize(fmt)
+                self._need(size * count, "array data")
                 arr = np.frombuffer(self.buf, dtype=np.dtype(fmt[1]).newbyteorder("<"),
                                     count=count, offset=self.pos)
                 self.pos += size * count
                 return arr
+            if etype not in (GGUFValueType.STRING, GGUFValueType.BOOL,
+                             GGUFValueType.ARRAY):
+                raise ValueError(f"unknown GGUF array element type {etype}")
             return [self.read_value(etype) for _ in range(count)]
         fmt = _SCALAR_FMT.get(vtype)
         if fmt is None:
@@ -129,18 +145,25 @@ class GGUFReader:
 
     def _parse(self) -> None:
         cur = _Cursor(self._buf)
-        magic = cur.read("<I")
+        magic = cur.read("<I", "magic")
         if magic != GGUF_MAGIC:
             raise ValueError(f"{self.path}: not a GGUF file (magic {magic:#x})")
-        version = cur.read("<I")
+        version = cur.read("<I", "version")
         if version not in (2, 3):
+            # a big-endian GGUF stores the same "GGUF" magic bytes but
+            # byte-swapped integers everywhere — detect it via the version
+            # field and reject explicitly (the reference reader is LE-only
+            # too: ByteOrder.LITTLE_ENDIAN in tensor/GGUF.java)
+            if int.from_bytes(struct.pack("<I", version), "big") in (2, 3):
+                raise ValueError(
+                    f"{self.path}: big-endian GGUF files are not supported")
             raise ValueError(f"unsupported GGUF version {version}")
         self.version = version
-        tensor_count = cur.read("<Q")
-        kv_count = cur.read("<Q")
+        tensor_count = cur.read("<Q", "tensor count")
+        kv_count = cur.read("<Q", "kv count")
         for _ in range(kv_count):
             key = cur.read_string()
-            vtype = cur.read("<I")
+            vtype = cur.read("<I", f"type of {key!r}")
             self.metadata[key] = cur.read_value(vtype)
         # convenience key used by the reference for vocab-size fallback
         if "tokenizer.ggml.tokens" in self.metadata:
@@ -151,17 +174,39 @@ class GGUFReader:
         infos = []
         for _ in range(tensor_count):
             name = cur.read_string()
-            n_dims = cur.read("<I")
-            ne = [cur.read("<Q") for _ in range(n_dims)]
-            ggml_type = GGMLType(cur.read("<I"))
-            rel_offset = cur.read("<Q")
+            n_dims = cur.read("<I", f"dims of {name!r}")
+            if n_dims > 4:
+                raise ValueError(
+                    f"tensor {name!r}: {n_dims} dims (ggml max is 4)")
+            ne = [cur.read("<Q", f"dim of {name!r}") for _ in range(n_dims)]
+            type_id = cur.read("<I", f"type of {name!r}")
+            try:
+                ggml_type = GGMLType(type_id)
+            except ValueError:
+                raise ValueError(
+                    f"tensor {name!r}: unknown ggml type id {type_id}") from None
+            rel_offset = cur.read("<Q", f"offset of {name!r}")
             infos.append((name, tuple(reversed(ne)), ggml_type, rel_offset))
 
         self.alignment = int(self.metadata.get("general.alignment", 32))
+        if self.alignment <= 0 or self.alignment & (self.alignment - 1):
+            raise ValueError(
+                f"general.alignment {self.alignment} is not a power of two")
         data_start = (cur.pos + self.alignment - 1) // self.alignment * self.alignment
         self.data_start = data_start
+        file_size = len(self._buf)
         for name, shape, ggml_type, rel in infos:
-            self.tensor_infos[name] = GGUFTensorInfo(name, shape, ggml_type, data_start + rel)
+            if name in self.tensor_infos:
+                raise ValueError(f"duplicate tensor name {name!r}")
+            info = GGUFTensorInfo(name, shape, ggml_type, data_start + rel)
+            if rel % self.alignment:
+                raise ValueError(
+                    f"tensor {name!r}: offset {rel} not {self.alignment}-aligned")
+            if info.offset + info.n_bytes > file_size:
+                raise ValueError(
+                    f"tensor {name!r}: data [{info.offset}, "
+                    f"{info.offset + info.n_bytes}) exceeds file size {file_size}")
+            self.tensor_infos[name] = info
 
     # -- tensor access -----------------------------------------------------
 

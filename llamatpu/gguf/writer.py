@@ -117,6 +117,14 @@ class GGUFWriter:
             out += struct.pack(_FMT[vt], v)
 
     def write(self, path: str) -> None:
+        if self.alignment & (self.alignment - 1) or self.alignment <= 0:
+            raise ValueError(f"alignment {self.alignment} is not a power of two")
+        if self.alignment != 32 and not any(k == "general.alignment"
+                                            for k, _ in self._kv):
+            # readers assume 32 unless the file says otherwise — a
+            # non-default alignment MUST be recorded or every tensor offset
+            # is misresolved
+            self._kv.append(("general.alignment", int(self.alignment)))
         out = bytearray()
         out += struct.pack("<IIQQ", GGUF_MAGIC, 3, len(self._tensors), len(self._kv))
         for k, v in self._kv:

@@ -33,35 +33,41 @@ from llamatpu.ops.rope import apply_rope
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["k", "v", "k_scale", "v_scale"], meta_fields=[])
+         data_fields=["kv", "scale"], meta_fields=[])
 @dataclass
 class KVCache:
     """Preallocated per-layer KV cache (reference: State.keyCache/valueCache,
-    inference/state/State.java:44-45, flattened [L][ctx*kvDim]; here
-    [L, B, n_kv, ctx, head_dim]: head-major so each kv head's stripe is
-    contiguous for the Pallas decode-attention kernel and per-head reads).
+    inference/state/State.java:44-45, flattened [L][ctx*kvDim]; here ONE
+    PACKED array [L, B, n_kv, S, hd + vhd] — K in lanes [0:hd], V in lanes
+    [hd:]. Head-major so each kv head's stripe is contiguous for the Pallas
+    decode-attention kernels.
 
-    With int8 k/v (init_cache(dtype=jnp.int8)), k_scale/v_scale hold one f32
-    per (token, kv head) stored [L, B, n_kv, 1, S] (S on lanes — Mosaic block-
-    legal and VMEM-compact); dequant folds into the attention dots, see
-    ops/kv_quant.py."""
+    Why packed (r5): with separate K/V arrays and hd = 64, XLA lane-pads the
+    minor dim to 128 in HBM — every attention byte was fetched twice, and
+    every layer paid two cache-write thunks. Packing makes the minor dim
+    128-exact (half the attention HBM traffic) and appends one row per layer.
+    See ops/pallas_attention.py for how the kernels dot against the packed
+    stripe without ever lane-slicing.
 
-    k: jax.Array  # [L, B, n_kv, S, head_dim]
-    v: jax.Array  # [L, B, n_kv, S, v_head_dim]
-    k_scale: jax.Array | None = None  # [L, B, n_kv, 1, S] f32 (int8 mode)
-    v_scale: jax.Array | None = None
+    With int8 entries (init_cache(dtype=jnp.int8)), `scale` holds one f32 per
+    (token, kv head) for K and V separately, stored [L, B, n_kv, 2, S]
+    (row 0 = K, row 1 = V; S on lanes — Mosaic block-legal and VMEM-compact);
+    dequant folds into the attention dots, see ops/kv_quant.py."""
+
+    kv: jax.Array  # [L, B, n_kv, S, head_dim + v_head_dim] packed
+    scale: jax.Array | None = None  # [L, B, n_kv, 2, S] f32 (int8 mode)
 
     @property
     def batch(self) -> int:
-        return self.k.shape[1]
+        return self.kv.shape[1]
 
     @property
     def length(self) -> int:
-        return self.k.shape[3]
+        return self.kv.shape[3]
 
     @property
     def quantized(self) -> bool:
-        return self.k_scale is not None
+        return self.scale is not None
 
 
 PAD_GRANULE = 128  # final prefill chunks pad to this (8-sublane × MXU friendly)
@@ -109,15 +115,12 @@ def pad_chunk_len(real: int, prefill_chunk: int) -> int:
 
 def init_cache(cfg: ModelConfig, batch: int, dtype=jnp.bfloat16, length: int | None = None) -> KVCache:
     s = length or cfg.context_length
-    k = jnp.zeros((cfg.n_layers, batch, cfg.n_kv_heads, s, cfg.head_dim), dtype)
-    v = jnp.zeros((cfg.n_layers, batch, cfg.n_kv_heads, s, cfg.v_head_dim), dtype)
+    width = cfg.head_dim + cfg.v_head_dim
+    kv = jnp.zeros((cfg.n_layers, batch, cfg.n_kv_heads, s, width), dtype)
     if dtype == jnp.int8:
-        # two distinct buffers: the engine donates the cache pytree and XLA
-        # rejects donating one buffer twice
-        shape = (cfg.n_layers, batch, cfg.n_kv_heads, 1, s)
-        return KVCache(k, v, jnp.zeros(shape, jnp.float32),
-                       jnp.zeros(shape, jnp.float32))
-    return KVCache(k, v)
+        shape = (cfg.n_layers, batch, cfg.n_kv_heads, 2, s)
+        return KVCache(kv, jnp.zeros(shape, jnp.float32))
+    return KVCache(kv)
 
 
 def _attention(cfg: ModelConfig, q, kc, vc, pos_vec, t_len):
@@ -333,11 +336,12 @@ def _write_rows(c_all, new, li, pos_vec, row0, gate):
 
 
 def _write_scale_rows(c_all, snew, li, pos_vec, row0, gate):
-    """snew [B, T, KV] f32 -> stacked scale rows [L, Ball, KV, 1, S]."""
+    """snew [B, T, KV, 2] f32 (K scale, V scale per token-head) -> stacked
+    scale rows [L, Ball, KV, 2, S]."""
     upd = c_all
     for bi_ in range(snew.shape[0]):
         row = bi_ if row0 is None else row0 + bi_
-        blockv = snew[bi_].T[None, None, :, None, :]  # [1, 1, KV, 1, T]
+        blockv = snew[bi_].transpose(1, 2, 0)[None, None]  # [1, 1, KV, 2, T]
         upd = jax.lax.dynamic_update_slice(
             upd, blockv, (li, row, 0, 0, pos_vec[bi_]))
     if gate is not None:
@@ -352,7 +356,7 @@ def make_layer_fn(cfg: ModelConfig, impl, b, t, pos_vec, cos, sin, *,
     """One transformer layer as a lax.scan step over stacked weights with the
     STACKED KV cache carried through the scan.
 
-    layer_fn(carry, per_layer): carry = (x, kc, vc[, ksc, vsc]) where the
+    layer_fn(carry, per_layer): carry = (x, kvc[, scale]) where the
     cache arrays keep their leading L axis ([L, Ball, KV, S, hd] dense pools
     or [L, NBLK, KV, BS, hd] paged pools); per_layer = (lw, layer_index).
     Writes touch only the T new positions; decode attention DMAs straight from
@@ -375,11 +379,11 @@ def make_layer_fn(cfg: ModelConfig, impl, b, t, pos_vec, cos, sin, *,
     def layer_fn(carry, per_layer):
         lw, li = per_layer
         if quantized:
-            x, kc, vc, ksc, vsc = carry
+            x, kvc, ssc = carry
         else:
-            x, kc, vc = carry
-            ksc = vsc = None
-        ks_view = vs_view = None  # dense [B, KV, 1, S] scale views (int8 mode)
+            x, kvc = carry
+            ssc = None
+        sc_view = None  # dense [B, KV, 2, S] scale view (int8 mode)
         qkv_out = None
         if (impl == "pallas" and slw is not None and li is not None
                 and "wqkv" in lw and isinstance(slw.get("wqkv"), QTensor)
@@ -432,8 +436,8 @@ def make_layer_fn(cfg: ModelConfig, impl, b, t, pos_vec, cos, sin, *,
             from llamatpu.ops.pallas_attention import (SPLIT_THRESHOLD_BYTES,
                                                        _pick_tile)
 
-            s_phys = kc.shape[3]
-            long_cache = s_phys * kc.dtype.itemsize >= SPLIT_THRESHOLD_BYTES
+            s_phys = kvc.shape[3]
+            long_cache = s_phys * kvc.dtype.itemsize >= SPLIT_THRESHOLD_BYTES
             ok = (s_phys % 32 == 0
                   and not os.environ.get("LLAMATPU_NO_FUSED_ATTN"))
             if long_cache:
@@ -445,6 +449,9 @@ def make_layer_fn(cfg: ModelConfig, impl, b, t, pos_vec, cos, sin, *,
             fused_write = ok and not quantized
             fused_write_q = ok and quantized
         row0 = batch_offset
+        width = cfg.head_dim + cfg.v_head_dim
+        kvnew = jnp.concatenate([k, v], axis=-1)  # [B, T, KV, hd+vhd] packed
+        kvq = s_new = None
         if paged:
             from llamatpu.runtime.paged_cache import (paged_gather,
                                                       paged_write_stacked)
@@ -458,55 +465,43 @@ def make_layer_fn(cfg: ModelConfig, impl, b, t, pos_vec, cos, sin, *,
 
                 kq, ks_new = quantize_kv(k)  # int8 [B,T,KV,hd], f32 [B,T,KV]
                 vq, vs_new = quantize_kv(v)
-                kc = paged_write_stacked(kc, li, kq, tables, pos_vec, bs)
-                vc = paged_write_stacked(vc, li, vq, tables, pos_vec, bs)
-                ksc = paged_write_scale_stacked(ksc, li, ks_new, tables, pos_vec, bs)
-                vsc = paged_write_scale_stacked(vsc, li, vs_new, tables, pos_vec, bs)
+                kvq = jnp.concatenate([kq, vq], axis=-1)
+                s_new = jnp.stack([ks_new, vs_new], axis=-1)  # [B, T, KV, 2]
+                kvc = paged_write_stacked(kvc, li, kvq, tables, pos_vec, bs)
+                ssc = paged_write_scale_stacked(ssc, li, s_new, tables,
+                                                pos_vec, bs)
             else:
-                kc = paged_write_stacked(kc, li, k, tables, pos_vec, bs)
-                vc = paged_write_stacked(vc, li, v, tables, pos_vec, bs)
+                kvc = paged_write_stacked(kvc, li, kvnew, tables, pos_vec, bs)
             if not use_stacked:
-                pool_l = jax.lax.dynamic_index_in_dim(kc, li, 0, keepdims=False)
-                kd = paged_gather(pool_l, tables)
-                pool_l = jax.lax.dynamic_index_in_dim(vc, li, 0, keepdims=False)
-                vd = paged_gather(pool_l, tables)
+                pool_l = jax.lax.dynamic_index_in_dim(kvc, li, 0, keepdims=False)
+                kvd = paged_gather(pool_l, tables)
                 if quantized:
-                    sl = jax.lax.dynamic_index_in_dim(ksc, li, 0, keepdims=False)
-                    ks_view = paged_gather_scale(sl, tables)
-                    sl = jax.lax.dynamic_index_in_dim(vsc, li, 0, keepdims=False)
-                    vs_view = paged_gather_scale(sl, tables)
+                    sl = jax.lax.dynamic_index_in_dim(ssc, li, 0, keepdims=False)
+                    sc_view = paged_gather_scale(sl, tables)
         else:
             if quantized:
                 from llamatpu.ops.kv_quant import quantize_kv
 
                 kq, ks_new = quantize_kv(k)  # int8 [B,T,KV,hd], f32 [B,T,KV]
                 vq, vs_new = quantize_kv(v)
+                kvq = jnp.concatenate([kq, vq], axis=-1)
+                s_new = jnp.stack([ks_new, vs_new], axis=-1)  # [B, T, KV, 2]
                 if not fused_write_q:
-                    kc = _write_rows(kc, kq.transpose(0, 2, 1, 3), li, pos_vec,
-                                     row0, write_gate)
-                    vc = _write_rows(vc, vq.transpose(0, 2, 1, 3), li, pos_vec,
-                                     row0, write_gate)
-                    ksc = _write_scale_rows(ksc, ks_new, li, pos_vec, row0,
-                                            write_gate)
-                    vsc = _write_scale_rows(vsc, vs_new, li, pos_vec, row0,
+                    kvc = _write_rows(kvc, kvq.transpose(0, 2, 1, 3), li,
+                                      pos_vec, row0, write_gate)
+                    ssc = _write_scale_rows(ssc, s_new, li, pos_vec, row0,
                                             write_gate)
             elif not fused_write:
-                kc = _write_rows(kc, k.transpose(0, 2, 1, 3), li, pos_vec,
-                                 row0, write_gate)
-                vc = _write_rows(vc, v.transpose(0, 2, 1, 3), li, pos_vec,
-                                 row0, write_gate)
+                kvc = _write_rows(kvc, kvnew.transpose(0, 2, 1, 3), li,
+                                  pos_vec, row0, write_gate)
             if not use_stacked:
                 r0 = 0 if row0 is None else row0
-                s_full = kc.shape[3]
-                sl5 = lambda c_all, hd_: jax.lax.dynamic_slice(
-                    c_all, (li, r0, 0, 0, 0), (1, b, kv, s_full, hd_))[0]
-                kd = sl5(kc, cfg.head_dim)
-                vd = sl5(vc, cfg.v_head_dim)
+                s_full = kvc.shape[3]
+                kvd = jax.lax.dynamic_slice(
+                    kvc, (li, r0, 0, 0, 0), (1, b, kv, s_full, width))[0]
                 if quantized:
-                    slsc = lambda c_all: jax.lax.dynamic_slice(
-                        c_all, (li, r0, 0, 0, 0), (1, b, kv, 1, s_full))[0]
-                    ks_view = slsc(ksc)
-                    vs_view = slsc(vsc)
+                    sc_view = jax.lax.dynamic_slice(
+                        ssc, (li, r0, 0, 0, 0), (1, b, kv, 2, s_full))[0]
 
         if use_stacked:
             q4 = q.reshape(b, kv, g, cfg.head_dim)
@@ -524,75 +519,77 @@ def make_layer_fn(cfg: ModelConfig, impl, b, t, pos_vec, cos, sin, *,
 
                     mega = layer_attn_tail_fused_rowq(
                         slw["wo"], slw["w13"], slw["w2"], slw["ffn_norm"],
-                        q4, k[:, 0], v[:, 0], kc, vc, x, pos_vec, li,
+                        q4, kvnew[:, 0], kvc, x, pos_vec, li,
                         cfg.rms_norm_eps, cfg.attn_score_scale,
-                        cfg.residual_scale)
+                        cfg.head_dim, cfg.residual_scale)
                     if mega is not None:
-                        x, kc, vc = mega
-                        carry = ((x, kc, vc, ksc, vsc) if quantized
-                                 else (x, kc, vc))
+                        x, kvc = mega
+                        carry = ((x, kvc, ssc) if quantized else (x, kvc))
                         return carry, None
             if paged:
                 from llamatpu.ops.pallas_attention import decode_attention_paged
 
                 attn = decode_attention_paged(
-                    q4, kc, vc, tables, pos_vec, cfg.attn_score_scale,
-                    k_scale=ksc, v_scale=vsc, layer_index=li,
+                    q4, kvc, tables, pos_vec, cfg.attn_score_scale,
+                    scale_pool=ssc, hd=cfg.head_dim, layer_index=li,
                     interpret=jax.default_backend() != "tpu")
             elif fused_write and fused_split:
                 from llamatpu.ops.pallas_attention import (
                     _pick_tile, decode_attention_split_fused_write)
 
-                attn, kc, vc = decode_attention_split_fused_write(
-                    q4, k[:, 0], v[:, 0], kc, vc, pos_vec,
-                    cfg.attn_score_scale, li, s_tile=_pick_tile(kc.shape[3]),
+                attn, kvc = decode_attention_split_fused_write(
+                    q4, kvnew[:, 0], kvc, pos_vec, cfg.attn_score_scale, li,
+                    hd=cfg.head_dim, s_tile=_pick_tile(kvc.shape[3]),
                     interpret=jax.default_backend() != "tpu")
             elif fused_write:
                 from llamatpu.ops.pallas_attention import \
                     decode_attention_fused_write
 
-                attn, kc, vc = decode_attention_fused_write(
-                    q4, k[:, 0], v[:, 0], kc, vc, pos_vec,
-                    cfg.attn_score_scale, li,
+                attn, kvc = decode_attention_fused_write(
+                    q4, kvnew[:, 0], kvc, pos_vec, cfg.attn_score_scale, li,
+                    hd=cfg.head_dim,
                     interpret=jax.default_backend() != "tpu")
             elif fused_write_q and fused_split:
                 from llamatpu.ops.pallas_attention import (
                     _pick_tile, decode_attention_split_fused_write_q)
 
-                attn, kc, vc, ksc, vsc = decode_attention_split_fused_write_q(
-                    q4, kq[:, 0], vq[:, 0], ks_new[:, 0], vs_new[:, 0],
-                    kc, vc, ksc, vsc, pos_vec, cfg.attn_score_scale, li,
-                    s_tile=_pick_tile(kc.shape[3]),
+                attn, kvc, ssc = decode_attention_split_fused_write_q(
+                    q4, kvq[:, 0], s_new[:, 0], kvc, ssc, pos_vec,
+                    cfg.attn_score_scale, li, hd=cfg.head_dim,
+                    s_tile=_pick_tile(kvc.shape[3]),
                     interpret=jax.default_backend() != "tpu")
             elif fused_write_q:
                 from llamatpu.ops.pallas_attention import \
                     decode_attention_fused_write_q
 
-                attn, kc, vc, ksc, vsc = decode_attention_fused_write_q(
-                    q4, kq[:, 0], vq[:, 0], ks_new[:, 0], vs_new[:, 0],
-                    kc, vc, ksc, vsc, pos_vec, cfg.attn_score_scale, li,
+                attn, kvc, ssc = decode_attention_fused_write_q(
+                    q4, kvq[:, 0], s_new[:, 0], kvc, ssc, pos_vec,
+                    cfg.attn_score_scale, li, hd=cfg.head_dim,
                     interpret=jax.default_backend() != "tpu")
             else:
                 from llamatpu.ops.pallas_attention import decode_attention_auto
 
                 attn = decode_attention_auto(
-                    q4, kc, vc, pos_vec, cfg.attn_score_scale,
-                    k_scale=ksc, v_scale=vsc, s_limit=s_limit, layer_index=li)
+                    q4, kvc, pos_vec, cfg.attn_score_scale,
+                    scale_rows=ssc, s_limit=s_limit, layer_index=li,
+                    hd=cfg.head_dim)
             attn = attn.reshape(b, t, kv, g, cfg.v_head_dim)
         elif impl == "pallas" and t == 1:
             from llamatpu.ops.pallas_attention import decode_attention_auto
 
             attn = decode_attention_auto(
-                q.reshape(b, kv, g, cfg.head_dim), kd, vd, pos_vec,
-                cfg.attn_score_scale, k_scale=ks_view, v_scale=vs_view,
-                s_limit=s_limit,
+                q.reshape(b, kv, g, cfg.head_dim), kvd, pos_vec,
+                cfg.attn_score_scale, scale_rows=sc_view,
+                s_limit=s_limit, hd=cfg.head_dim,
             ).reshape(b, t, kv, g, cfg.v_head_dim)
         else:
+            kd = kvd[..., :cfg.head_dim]
+            vd = kvd[..., cfg.head_dim:]
             if quantized:
                 from llamatpu.ops.kv_quant import dequantize_kv
 
-                kd = dequantize_kv(kd, ks_view)
-                vd = dequantize_kv(vd, vs_view)
+                kd = dequantize_kv(kd, sc_view[..., 0:1, :])
+                vd = dequantize_kv(vd, sc_view[..., 1:2, :])
             if s_limit and s_limit < kd.shape[2]:
                 # static slice: XLA folds the offset/limit into the dot; the
                 # rows past the logical length are write-slack, never attended
@@ -630,7 +627,7 @@ def make_layer_fn(cfg: ModelConfig, impl, b, t, pos_vec, cos, sin, *,
             if cfg.residual_scale != 1.0:
                 ffn = (ffn.astype(jnp.float32) * cfg.residual_scale).astype(x.dtype)
             x = x + ffn
-        carry = (x, kc, vc, ksc, vsc) if quantized else (x, kc, vc)
+        carry = (x, kvc, ssc) if quantized else (x, kvc)
         return carry, None
 
     return layer_fn
@@ -670,9 +667,9 @@ def forward_tokens(cfg: ModelConfig, weights, tokens, cache, pos, impl="xla",
 
     # the STACKED cache rides the scan CARRY with position-only writes (xs/ys
     # plumbing makes XLA copy the whole cache per step — see make_layer_fn)
-    arrs = ((cache.k_pool, cache.v_pool) if paged else (cache.k, cache.v))
+    arrs = ((cache.kv_pool,) if paged else (cache.kv,))
     if quantized:
-        arrs += (cache.k_scale, cache.v_scale)
+        arrs += (cache.scale,)
     li_arr = jnp.arange(cfg.n_layers, dtype=jnp.int32)
     carry, _ = jax.lax.scan(layer_fn, (x,) + arrs, (weights["layers"], li_arr))
     x, new = carry[0], carry[1:]
@@ -680,8 +677,8 @@ def forward_tokens(cfg: ModelConfig, weights, tokens, cache, pos, impl="xla",
     if paged:
         from llamatpu.runtime.paged_cache import PagedKVCache as _P
 
-        new_cache = (_P(new[0], new[1], cache.block_size, new[2], new[3])
-                     if quantized else _P(new[0], new[1], cache.block_size))
+        new_cache = (_P(new[0], cache.block_size, new[1])
+                     if quantized else _P(new[0], cache.block_size))
     else:
         new_cache = KVCache(*new)
 

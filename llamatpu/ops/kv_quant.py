@@ -11,8 +11,9 @@ granularity that folds into the attention dots with zero expansion work:
 
 so both Pallas decode kernels and the XLA path dequantize as a [1, S] row
 multiply on the score/attention matrix instead of materializing a dequantized
-[S, hd] stripe. Scales are stored [..., 1, S] (S on lanes) which is both
-Mosaic block-legal and VMEM-compact.
+[S, hd] stripe. Scales are stored [..., 2, S] (row 0 = K, row 1 = V; S on
+lanes) beside the PACKED int8 cache (models/transformer.KVCache) — Mosaic
+block-legal and VMEM-compact.
 """
 from __future__ import annotations
 

@@ -413,21 +413,27 @@ def layer_tail_fused_rowq(wo: QTensor, w13: QTensor, w2: QTensor, ffn_norm,
 NEG_INF = -1e30
 
 
-def _attn_tail_kernel(pos_ref, li_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref,
+def _attn_tail_kernel(pos_ref, li_ref, q_ref, kvn_ref, kv_ref,
                       x_ref, nw_ref, wo_ref, so_ref, w13_ref, s13_ref,
-                      w2_ref, s2_ref, o_ref, ko_ref, vo_ref,
+                      w2_ref, s2_ref, o_ref, kvo_ref,
                       x2_ref, h_ref, g13_ref, act_ref, m_ref, l_ref, acc_ref,
-                      *, na, s_tile, st_shift, nwo, towo, n13, to13, n2, to2,
-                      f, d, kvh, g, eps, rs, scale, dot_dtype):
+                      ao_ref, *, na, s_tile, st_shift, nwo, towo, n13, to13,
+                      n2, to2, f, d, kvh, g, hd, vhd, eps, rs, scale,
+                      dot_dtype):
     """ONE call per layer: [attn tiles] -> wo -> w13 -> w2 (megakernel v3).
-    Phase A appends this token's K/V (write-back tile out specs, cache
-    aliased) and runs online-softmax attention over pos-clamped S tiles;
-    phases B-D are the tail kernel with the attention output read from VMEM
-    scratch instead of an input block. wo arrives viewed [L, D, KV*G, vhd] so
-    phase B contracts per attention-scratch row — a [KV*G, vhd] -> [1, hdim]
-    flatten would cross lane boundaries, which Mosaic reshapes cannot do."""
+    Phase A appends this token's PACKED K/V row (write-back tile out spec,
+    cache aliased) and runs online-softmax attention over pos-clamped S tiles
+    of the packed stripe (ops/pallas_attention.py packed-layout math: q is
+    lane-padded with zeros so the score contraction equals q . k; the att.kv
+    dot's V lanes are the attention output, extracted with a constant
+    selection matmul — Mosaic cannot lane-slice); phases B-D are the tail
+    kernel with the attention output read from VMEM scratch instead of an
+    input block. wo arrives viewed [L, D, KV*G, vhd] so phase B contracts per
+    attention-scratch row — a [KV*G, vhd] -> [1, hdim] flatten would cross
+    lane boundaries, which Mosaic reshapes cannot do."""
     s = pl.program_id(0)
     pos = pos_ref[0]
+    width = hd + vhd
 
     # ---- phase A: KV append + attention over S tiles (online softmax)
     @pl.when(s == 0)
@@ -442,17 +448,14 @@ def _attn_tail_kernel(pos_ref, li_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref,
     def _():
         for i in range(kvh):
             band = slice(i * g, (i + 1) * g)
-            kn = kn_ref[i, 0]
-            vn = vn_ref[i, 0]
+            kvn = kvn_ref[i, 0]
             rel = jax.lax.broadcasted_iota(jnp.int32, (s_tile, 1), 0) + start
-            k = k_ref[0, 0, i]
-            v = v_ref[0, 0, i]
-            k = jnp.where(rel == pos, kn[None, :].astype(k.dtype), k)
-            v = jnp.where(rel == pos, vn[None, :].astype(v.dtype), v)
-            q = q_ref[i].astype(jnp.float32)
+            kvb = kv_ref[0, 0, i]
+            kvb = jnp.where(rel == pos, kvn[None, :].astype(kvb.dtype), kvb)
+            kvb = kvb.astype(jnp.float32)
+            q = q_ref[i].astype(jnp.float32)  # [g, width], zeros in V lanes
             scores = jax.lax.dot_general(
-                q, k.astype(jnp.float32),
-                dimension_numbers=(((1,), (1,)), ((), ())),
+                q, kvb, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
             s_idx = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + start
             scores = jnp.where(s_idx <= pos, scores, NEG_INF)
@@ -463,8 +466,7 @@ def _attn_tail_kernel(pos_ref, li_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref,
             e = jnp.exp(scores - m_new)
             l_new = l_prev * alpha + jnp.sum(e, axis=1, keepdims=True)
             acc_ref[band] = acc_ref[band] * alpha + jax.lax.dot_general(
-                e, v.astype(jnp.float32),
-                dimension_numbers=(((1,), (0,)), ((), ())),
+                e, kvb, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             m_ref[band] = jnp.broadcast_to(m_new, (g, m_ref.shape[1]))
             l_ref[band] = jnp.broadcast_to(l_new, (g, l_ref.shape[1]))
@@ -478,19 +480,21 @@ def _attn_tail_kernel(pos_ref, li_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref,
             rel32 = (jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0) + start
                      + t0)
             for i in range(kvh):
-                kt = k_ref[0, 0, i, pl.ds(t0, 32), :]
-                vt = v_ref[0, 0, i, pl.ds(t0, 32), :]
-                kn = kn_ref[i, 0]
-                vn = vn_ref[i, 0]
-                ko_ref[0, 0, i] = jnp.where(rel32 == pos,
-                                            kn[None, :].astype(kt.dtype), kt)
-                vo_ref[0, 0, i] = jnp.where(rel32 == pos,
-                                            vn[None, :].astype(vt.dtype), vt)
+                tile = kv_ref[0, 0, i, pl.ds(t0, 32), :]
+                kvn = kvn_ref[i, 0]
+                kvo_ref[0, 0, i] = jnp.where(
+                    rel32 == pos, kvn[None, :].astype(tile.dtype), tile)
 
     @pl.when(s == na - 1)
-    def _():  # finalize: acc <- attention output rows [KV*G, vhd]
+    def _():  # finalize: ao <- V lanes of acc/l = attention rows [KV*G, vhd]
         l = jnp.maximum(jnp.max(l_ref[...], axis=1, keepdims=True), 1e-38)
-        acc_ref[...] = acc_ref[...] / l
+        sel_l = jax.lax.broadcasted_iota(jnp.int32, (width, vhd), 0)
+        sel_j = jax.lax.broadcasted_iota(jnp.int32, (width, vhd), 1)
+        sel = (sel_l == sel_j + hd).astype(jnp.float32)  # E[l, j] = [l == hd+j]
+        ao_ref[...] = jax.lax.dot_general(
+            acc_ref[...] / l, sel,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     # ---- phase B: wo + residual (attention read from scratch, per-row dots)
     @pl.when((s >= na) & (s < na + nwo))
@@ -498,7 +502,7 @@ def _attn_tail_kernel(pos_ref, li_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref,
         j = s - na
         y = jnp.zeros((1, towo), jnp.float32)
         for r in range(kvh * g):
-            a = acc_ref[r:r + 1, :].astype(dot_dtype)      # [1, vhd]
+            a = ao_ref[r:r + 1, :].astype(dot_dtype)       # [1, vhd]
             w = wo_ref[0, :, r, :].astype(dot_dtype)       # [towo, vhd]
             y = y + jax.lax.dot_general(
                 a, w, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -547,16 +551,16 @@ def _attn_tail_kernel(pos_ref, li_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "eps", "rs", "scale", "kvh", "g", "interpret", "towo", "to13", "to2",
-    "s_tile"))
-def _attn_tail_2d(wo_qs, wo_s, w13_qs, w13_s, w2_qs, w2_s, nw, q4, kn, vn,
-                  kc, vc, x2, pos, li, eps, rs, scale, kvh, g, towo, to13,
+    "eps", "rs", "scale", "kvh", "g", "hd", "interpret", "towo", "to13",
+    "to2", "s_tile"))
+def _attn_tail_2d(wo_qs, wo_s, w13_qs, w13_s, w2_qs, w2_s, nw, q4p, kvn,
+                  kvc, x2, pos, li, eps, rs, scale, kvh, g, hd, towo, to13,
                   to2, s_tile, interpret=False):
     L, d, hdim = wo_qs.shape
     _, o13, _ = w13_qs.shape
     _, d2, f = w2_qs.shape
-    S, hd = kc.shape[-2], kc.shape[-1]
-    vhd = vc.shape[-1]
+    S, width = kvc.shape[-2], kvc.shape[-1]
+    vhd = width - hd
     t = x2.shape[0]
     tp = -(-t // 8) * 8
     if tp != t:
@@ -576,12 +580,9 @@ def _attn_tail_2d(wo_qs, wo_s, w13_qs, w13_s, w2_qs, w2_s, nw, q4, kn, vn,
         num_scalar_prefetch=2,
         grid=(na + nwo + n13 + n2,),
         in_specs=[
-            pl.BlockSpec((kvh, g, hd), lambda s, pp, li_: (0, 0, 0)),
-            pl.BlockSpec((kvh, 1, hd), lambda s, pp, li_: (0, 0, 0)),
-            pl.BlockSpec((kvh, 1, vhd), lambda s, pp, li_: (0, 0, 0)),
-            pl.BlockSpec((1, 1, kvh, s_tile, hd),
-                         lambda s, pp, li_: (li_[0], 0, 0, cl_attn(s, pp, li_), 0)),
-            pl.BlockSpec((1, 1, kvh, s_tile, vhd),
+            pl.BlockSpec((kvh, g, width), lambda s, pp, li_: (0, 0, 0)),
+            pl.BlockSpec((kvh, 1, width), lambda s, pp, li_: (0, 0, 0)),
+            pl.BlockSpec((1, 1, kvh, s_tile, width),
                          lambda s, pp, li_: (li_[0], 0, 0, cl_attn(s, pp, li_), 0)),
             pl.BlockSpec((tp, d), lambda s, pp, li_: (0, 0)),
             pl.BlockSpec((1, 1, d), lambda s, pp, li_: (li_[0], 0, 0)),
@@ -608,9 +609,7 @@ def _attn_tail_2d(wo_qs, wo_s, w13_qs, w13_s, w2_qs, w2_s, nw, q4, kn, vn,
             pl.BlockSpec((tp, to2),
                          lambda s, pp, li_: (0, jnp.clip(s - na - nwo - n13,
                                                          0, n2 - 1))),
-            pl.BlockSpec((1, 1, kvh, 32, hd),
-                         lambda s, pp, li_: (li_[0], 0, 0, pp[0] >> 5, 0)),
-            pl.BlockSpec((1, 1, kvh, 32, vhd),
+            pl.BlockSpec((1, 1, kvh, 32, width),
                          lambda s, pp, li_: (li_[0], 0, 0, pp[0] >> 5, 0)),
         ],
         scratch_shapes=[
@@ -620,38 +619,39 @@ def _attn_tail_2d(wo_qs, wo_s, w13_qs, w13_s, w2_qs, w2_s, nw, q4, kn, vn,
             pltpu.VMEM((tp, f), dot_dtype),            # act
             pltpu.VMEM((kvh * g, 128), jnp.float32),   # m
             pltpu.VMEM((kvh * g, 128), jnp.float32),   # l
-            pltpu.VMEM((kvh * g, vhd), jnp.float32),   # acc / attn out
+            pltpu.VMEM((kvh * g, width), jnp.float32), # acc (packed att.kv)
+            pltpu.VMEM((kvh * g, vhd), jnp.float32),   # ao (attn out rows)
         ],
     )
-    # operand order incl. scalar prefetch: pos=0 li=1 q=2 kn=3 vn=4 kc=5 vc=6
-    # x=7 nw=8 wo=9 so=10 w13=11 s13=12 w2=13 s2=14 -> outputs o=0 ko=1 vo=2
-    y, kc2, vc2 = pl.pallas_call(
+    # operand order incl. scalar prefetch: pos=0 li=1 q=2 kvn=3 kvc=4 x=5
+    # nw=6 wo=7 so=8 w13=9 s13=10 w2=11 s2=12 -> outputs o=0 kvo=1
+    y, kvc2 = pl.pallas_call(
         functools.partial(_attn_tail_kernel, na=na, s_tile=s_tile,
                           st_shift=st_shift, nwo=nwo, towo=towo, n13=n13,
                           to13=to13, n2=n2, to2=to2, f=f, d=d, kvh=kvh, g=g,
-                          eps=eps, rs=rs, scale=scale, dot_dtype=dot_dtype),
+                          hd=hd, vhd=vhd, eps=eps, rs=rs, scale=scale,
+                          dot_dtype=dot_dtype),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((tp, d2), jnp.float32),
-                   jax.ShapeDtypeStruct(kc.shape, kc.dtype),
-                   jax.ShapeDtypeStruct(vc.shape, vc.dtype)],
-        input_output_aliases={5: 1, 6: 2},
+                   jax.ShapeDtypeStruct(kvc.shape, kvc.dtype)],
+        input_output_aliases={4: 1},
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * (kvh * g * S * (hd + vhd)
+            flops=2 * (kvh * g * S * 2 * width
                        + tp * (d * hdim + o13 * d + d2 * f)),
-            bytes_accessed=(kvh * S * (hd + vhd) * kc.dtype.itemsize
+            bytes_accessed=(kvh * S * width * kvc.dtype.itemsize
                             + d * hdim + o13 * d + d2 * f + tp * d2 * 4),
             transcendentals=kvh * g * S + tp * f,
         ),
-    )(pos_arr, li_arr, q4, kn, vn, kc, vc, x2,
+    )(pos_arr, li_arr, q4p, kvn, kvc, x2,
       nw.reshape(nw.shape[0], 1, d), wo4, wo_s, w13_qs, w13_s, w2_qs, w2_s)
-    return (y[:t] if tp != t else y), kc2, vc2
+    return (y[:t] if tp != t else y), kvc2
 
 
 _V3_LIMIT = 16 * 1024 * 1024        # Mosaic's scoped-vmem hard limit
 _V3_STACK = int(3.5 * 1024 * 1024)  # kernel-stack margin: the unrolled
                                     # per-head attention phase holds f32
-                                    # K/V-cast + score temporaries Mosaic
+                                    # KV-cast + score temporaries Mosaic
                                     # allocates on the scoped stack (r4c chip
                                     # OOM: est 12.0M vs actual 17.54M — the
                                     # residual beyond lane padding)
@@ -661,28 +661,29 @@ def _lane_pad(n: int) -> int:
     return -(-n // 128) * 128
 
 
-def _fit_attn_tail(t, d, hdim, o13, f, kvh, g, vhd, hd, S, kv_itemsize,
+def _fit_attn_tail(t, d, hdim, o13, f, kvh, g, width, S, kv_itemsize,
                    xbytes):
-    """(towo, to13, to2, s_tile) fitting the tail tiles + both KV tile
-    streams + attention scratches inside Mosaic's 16M scoped-vmem limit, or
-    None. Unlike _fit_tail_tiles this accounts LANE PADDING: the wo4 view's
-    last dim is vhd (64 for most models) and Mosaic pads every block's lane
-    dim to 128 — the wo blocks really cost 2x their logical bytes, as do the
-    K/V s_tile blocks and write tiles (r4c chip OOM at llama-1b S=1152)."""
+    """(towo, to13, to2, s_tile) fitting the tail tiles + the packed KV tile
+    stream + attention scratches inside Mosaic's 16M scoped-vmem limit, or
+    None. Accounts LANE PADDING (the wo4 view's last dim is vhd, padded to
+    128 per block; the packed KV blocks are 128-exact by construction) plus a
+    measured stack margin (r4c chip OOM: est 12.0M vs actual 17.54M)."""
     towo, to13, to2 = _pick_to(d, hdim), _pick_to(o13, d), _pick_to(d, f)
     if not (towo and to13 and to2):
         return None
     tp = -(-t // 8) * 8
-    kv_pad = _lane_pad(hd) + _lane_pad(vhd)
+    vhd = width // 2  # wo4 row width (hd == vhd for every current model)
+    kv_padw = _lane_pad(width)
 
     def need(towo_, to13_, to2_, s_tile):
         est = _tail_vmem(tp, d, hdim, o13, f, towo_, to13_, to2_, xbytes,
                          xbytes)
         est += 2 * towo_ * kvh * g * (_lane_pad(vhd) - vhd)   # wo4 lane pad
-        est += 2 * kvh * s_tile * kv_pad * kv_itemsize        # K+V blocks, 2x
-        est += 2 * kvh * 32 * kv_pad * kv_itemsize            # write tiles
-        est += 3 * kvh * g * 128 * 4 + kvh * g * _lane_pad(vhd) * 4  # m/l/acc
-        est += 2 * kvh * (_lane_pad(hd) + _lane_pad(vhd)) * xbytes   # kn/vn
+        est += 2 * kvh * s_tile * kv_padw * kv_itemsize       # KV blocks, 2x
+        est += 2 * kvh * 32 * kv_padw * kv_itemsize           # write tiles
+        est += (3 * kvh * g * 128 * 4 + kvh * g * kv_padw * 4
+                + kvh * g * _lane_pad(vhd) * 4)               # m/l/acc/ao
+        est += 2 * kvh * (kv_padw + _lane_pad(vhd)) * xbytes  # q/kvn blocks
         return est + _V3_STACK
 
     order = ["wo", "w2", "w13"]
@@ -703,17 +704,18 @@ def _fit_attn_tail(t, d, hdim, o13, f, kvh, g, vhd, hd, S, kv_itemsize,
 
 
 def layer_attn_tail_fused_rowq(wo: QTensor, w13: QTensor, w2: QTensor,
-                               ffn_norm, q4, k_new, v_new, kc, vc, x, pos_vec,
-                               li, eps: float, scale: float,
+                               ffn_norm, q4, kv_new, kvc, x, pos_vec,
+                               li, eps: float, scale: float, hd: int,
                                residual_scale: float = 1.0, interpret=None):
     """Megakernel v3: KV-append + attention + wo + residual + rmsnorm + FFN +
     residual as ONE pallas call per layer (B=1 decode). q4 [1, KV, G, hd];
-    k_new/v_new [1, KV, hd|vhd] post-RoPE; kc/vc stacked [L, 1, KV, S, *]
-    (S % 32 == 0, s_tile | S); x [1, 1, D]. Returns (new_x, kc', vc') with
-    the caches aliased (only the 32-row tile containing pos written), or None
-    when the shape isn't eligible. Same numerics class as the v2 tail kernel
-    (f32 residuals in VMEM; tolerance-gated by tests + parity rows); the
-    attention math matches ops/pallas_attention (masked f32 online softmax)."""
+    kv_new [1, KV, hd+vhd] packed post-RoPE row; kvc PACKED stacked
+    [L, 1, KV, S, hd+vhd] (S % 32 == 0, s_tile | S); x [1, 1, D]. Returns
+    (new_x, kvc') with the cache aliased (only the 32-row tile containing pos
+    written), or None when the shape isn't eligible. Same numerics class as
+    the v2 tail kernel (f32 residuals in VMEM; tolerance-gated by tests +
+    parity rows); the attention math matches ops/pallas_attention (masked f32
+    online softmax over the packed stripe)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     for w in (wo, w13, w2):
@@ -722,10 +724,11 @@ def layer_attn_tail_fused_rowq(wo: QTensor, w13: QTensor, w2: QTensor,
             return None
     if q4.shape[0] != 1 or x.shape[0] != 1:
         return None  # B=1 decode only
-    _, kvh, g, hd = q4.shape
-    vhd = vc.shape[-1]
-    S = kc.shape[-2]
-    if S % 32 or kc.dtype.itemsize == 1:
+    _, kvh, g, hd_q = q4.shape
+    width = kvc.shape[-1]
+    vhd = width - hd
+    S = kvc.shape[-2]
+    if S % 32 or kvc.dtype.itemsize == 1 or hd != vhd:
         return None
     d, hdim = wo.qs.shape[-2:]
     o13 = w13.qs.shape[-2]
@@ -734,18 +737,21 @@ def layer_attn_tail_fused_rowq(wo: QTensor, w13: QTensor, w2: QTensor,
             and x.shape[-1] == d):
         return None
     xbytes = 4 if x.dtype == jnp.float32 else 2
-    fit = _fit_attn_tail(1, d, hdim, o13, f, kvh, g, vhd, hd, S,
-                         kc.dtype.itemsize, xbytes)
+    fit = _fit_attn_tail(1, d, hdim, o13, f, kvh, g, width, S,
+                         kvc.dtype.itemsize, xbytes)
     if fit is None:
         return None
     towo, to13, to2, s_tile = fit
-    y, kc2, vc2 = _attn_tail_2d(
+    from llamatpu.ops.pallas_attention import pack_q
+
+    q4p = pack_q(q4, vhd)
+    y, kvc2 = _attn_tail_2d(
         wo.qs, wo.scales, w13.qs, w13.scales, w2.qs, w2.scales, ffn_norm,
-        q4[0], k_new[0][:, None, :], v_new[0][:, None, :], kc, vc,
+        q4p[0], kv_new[0][:, None, :], kvc,
         x.reshape(1, d), pos_vec[0], li, float(eps), float(residual_scale),
-        float(scale), int(kvh), int(g), towo, to13, to2, s_tile,
+        float(scale), int(kvh), int(g), int(hd), towo, to13, to2, s_tile,
         interpret=interpret)
-    return y.reshape(1, 1, d).astype(x.dtype), kc2, vc2
+    return y.reshape(1, 1, d).astype(x.dtype), kvc2
 
 
 # ------------------------------------------------------- norm+qkv kernel

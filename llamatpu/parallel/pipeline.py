@@ -153,19 +153,17 @@ def forward_tokens_pp(cfg: ModelConfig, weights, tokens, cache, pos, mesh,
     static_w = {k: weights[k] for k in ("tok_emb", "rope_cos", "rope_sin")}
     tp_kv = "tp" if tp > 1 else None
     if paged:
-        cache_args = (cache.k_pool, cache.v_pool) + (
-            (cache.k_scale, cache.v_scale) if quantized else ())
-        kv_spec = P("pp", None, tp_kv)  # pool [L, NBLK, KV, BS, hd]
+        cache_args = (cache.kv_pool,) + ((cache.scale,) if quantized else ())
+        kv_spec = P("pp", None, tp_kv)  # pool [L, NBLK, KV, BS, hd+vhd]
         bs = cache.block_size
-        trash = cache.k_pool.shape[1] - 1
+        trash = cache.kv_pool.shape[1] - 1
     else:
-        cache_args = (cache.k, cache.v) + (
-            (cache.k_scale, cache.v_scale) if quantized else ())
+        cache_args = (cache.kv,) + ((cache.scale,) if quantized else ())
         kv_spec = P("pp", "dp", tp_kv)
 
     l_loc = cfg.n_layers // pp
     off = 0 if batch_offset is None else batch_offset
-    rows_loc = None if paged else cache.k.shape[1] // dp  # cache rows per dp shard
+    rows_loc = None if paged else cache.kv.shape[1] // dp  # cache rows per dp shard
 
     def stage_fn(layers_l, static_l, tokens_l, pos_l, tables_l, *cache_l):
         s = jax.lax.axis_index("pp")
@@ -244,11 +242,10 @@ def forward_tokens_pp(cfg: ModelConfig, weights, tokens, cache, pos, mesh,
              *cache_args)
     hidden, new_kv = out[0], out[1:]
     if paged:
-        new_cache = PagedKVCache(new_kv[0], new_kv[1], cache.block_size,
-                                 *(new_kv[2:] if quantized else ()))
+        new_cache = PagedKVCache(new_kv[0], cache.block_size,
+                                 *(new_kv[1:] if quantized else ()))
     else:
-        new_cache = (KVCache(*new_kv[:2], *new_kv[2:]) if quantized
-                     else KVCache(*new_kv))
+        new_cache = KVCache(*new_kv)
     logits = finish_logits(cfg, weights, hidden, impl, last_logit_only,
                            logit_index)
     return logits, new_cache

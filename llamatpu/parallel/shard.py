@@ -149,28 +149,28 @@ def weight_shardings(cfg: ModelConfig, mesh: Mesh, weights: dict,
 
 
 def cache_shardings(cfg: ModelConfig, mesh: Mesh, cache=None):
-    """KVCache sharding: [L, B, n_kv, S, hd] -> batch on dp, kv heads on tp,
+    """KVCache sharding: packed [L, B, n_kv, S, hd+vhd] -> batch on dp, kv heads on tp,
     sequence positions on sp (sequence-parallel attention: the softmax max/sum
     and the att·V contraction over the sharded S axis become GSPMD all-reduces
     over "sp" — the TPU-native splitKV-across-chips, no reference counterpart).
-    Scale rows of an int8 cache ([L, B, n_kv, 1, S]) put S on their lane axis.
+    Scale rows of an int8 cache ([L, B, n_kv, 2, S]) put S on their lane axis.
     Pass the cache to pick up the optional scale fields and the S-divisibility
     guard (an S not divisible by sp stays unsharded)."""
     from llamatpu.models.transformer import KVCache
 
     sp = "sp" if mesh.shape.get("sp", 1) > 1 else None
-    if cache is not None and sp and cache.k.shape[3] % mesh.shape["sp"]:
+    if cache is not None and sp and cache.kv.shape[3] % mesh.shape["sp"]:
         sp = None  # uneven split: keep S replicated
     pp = "pp" if mesh.shape.get("pp", 1) > 1 else None  # L axis -> stages
     kv_s = NamedSharding(mesh, P(pp, "dp", "tp", sp, None))
     if cache is not None and getattr(cache, "quantized", False):
         sc_s = NamedSharding(mesh, P(pp, "dp", "tp", None, sp))
-        return KVCache(kv_s, kv_s, sc_s, sc_s)
-    return KVCache(kv_s, kv_s)
+        return KVCache(kv_s, sc_s)
+    return KVCache(kv_s)
 
 
 def paged_cache_shardings(cfg: ModelConfig, mesh: Mesh, cache):
-    """PagedKVCache sharding: pools [L, NBLK, KV, BS, hd] put kv heads on
+    """PagedKVCache sharding: the pool [L, NBLK, KV, BS, hd+vhd] puts kv heads on
     "tp" and (with pp > 1) the layer axis on "pp". NBLK stays replicated —
     block tables index arbitrary pool blocks, so splitting the pool would turn
     every table lookup into a cross-device gather; paged serving shards the
@@ -181,8 +181,8 @@ def paged_cache_shardings(cfg: ModelConfig, mesh: Mesh, cache):
     kv_s = NamedSharding(mesh, P(pp, None, "tp", None, None))
     if cache.quantized:
         sc_s = NamedSharding(mesh, P(pp, None, "tp", None, None))
-        return PagedKVCache(kv_s, kv_s, cache.block_size, sc_s, sc_s)
-    return PagedKVCache(kv_s, kv_s, cache.block_size)
+        return PagedKVCache(kv_s, cache.block_size, sc_s)
+    return PagedKVCache(kv_s, cache.block_size)
 
 
 def shard_model(weights: dict, cfg: ModelConfig, mesh: Mesh, ep: bool = False) -> dict:

@@ -117,7 +117,7 @@ class BatchEngine:
                 # (never read): with interleaved chunked prefill another
                 # request may be mid-prefill in this lane, and a stale-pos
                 # rewrite would corrupt its freshly written KV
-                park = jnp.int32(cache_.k.shape[3] - 1)
+                park = jnp.int32(cache_.kv.shape[3] - 1)
                 logits, cache_ = fwd(weights, tok[:, None], cache_,
                                      jnp.where(act, pos, park),
                                      last_logit_only=True, ep_mesh=ep_mesh,

@@ -6,7 +6,7 @@ paged KV-cache") with no reference counterpart (the reference preallocates
 with tokens actually in flight instead of lanes x max-context, so more/longer
 sequences fit per chip.
 
-Device side: pools [L, NBLK, KV, BS, hd]; writes scatter (block, offset)
+Device side: one packed pool [L, NBLK, KV, BS, hd+vhd]; writes scatter (block, offset)
 computed from absolute position; attention gathers the lane's table into a
 dense head-major view and reuses the standard masked-attention path (positions
 beyond the lane's length are masked, so stale/foreign block contents are
@@ -55,40 +55,36 @@ def block_hashes(tokens, block_size: int) -> list[bytes]:
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["k_pool", "v_pool", "k_scale", "v_scale"],
+         data_fields=["kv_pool", "scale"],
          meta_fields=["block_size"])
 @dataclass
 class PagedKVCache:
-    k_pool: jax.Array  # [L, NBLK, KV, BS, hd]
-    v_pool: jax.Array  # [L, NBLK, KV, BS, vhd]
+    # PACKED pool (models/transformer.KVCache docstring): K in lanes [0:hd],
+    # V in [hd:] — the 128-exact minor dim halves attention HBM traffic and
+    # the per-layer write count
+    kv_pool: jax.Array  # [L, NBLK, KV, BS, hd + vhd]
     block_size: int
-    # int8 mode (ops/kv_quant.py): one f32 scale per (position, kv head),
-    # stored [L, NBLK, KV, 1, BS] (BS on lanes, like the dense [.., 1, S] rows)
-    k_scale: jax.Array | None = None
-    v_scale: jax.Array | None = None
+    # int8 mode (ops/kv_quant.py): one f32 scale per (position, kv head) for
+    # K and V, stored [L, NBLK, KV, 2, BS] (row 0 = K; BS on lanes)
+    scale: jax.Array | None = None
 
     @property
     def n_blocks(self) -> int:
-        return self.k_pool.shape[1]
+        return self.kv_pool.shape[1]
 
     @property
     def quantized(self) -> bool:
-        return self.k_scale is not None
+        return self.scale is not None
 
 
 def init_paged_cache(cfg: ModelConfig, n_blocks: int, block_size: int = 16,
                      dtype=jnp.bfloat16) -> PagedKVCache:
-    k = jnp.zeros((cfg.n_layers, n_blocks, cfg.n_kv_heads, block_size,
-                   cfg.head_dim), dtype)
-    v = jnp.zeros((cfg.n_layers, n_blocks, cfg.n_kv_heads, block_size,
-                   cfg.v_head_dim), dtype)
+    kv = jnp.zeros((cfg.n_layers, n_blocks, cfg.n_kv_heads, block_size,
+                    cfg.head_dim + cfg.v_head_dim), dtype)
     if dtype == jnp.int8:
-        # two distinct zero buffers: the engine donates the cache pytree and
-        # XLA rejects donating one buffer twice
-        sshape = (cfg.n_layers, n_blocks, cfg.n_kv_heads, 1, block_size)
-        return PagedKVCache(k, v, block_size, jnp.zeros(sshape, jnp.float32),
-                            jnp.zeros(sshape, jnp.float32))
-    return PagedKVCache(k, v, block_size)
+        sshape = (cfg.n_layers, n_blocks, cfg.n_kv_heads, 2, block_size)
+        return PagedKVCache(kv, block_size, jnp.zeros(sshape, jnp.float32))
+    return PagedKVCache(kv, block_size)
 
 
 def paged_write(pool, new, tables, pos_vec, block_size):
@@ -111,14 +107,14 @@ def paged_gather(pool, tables):
 
 
 def paged_write_scale(spool, snew, tables, pos_vec, block_size):
-    """Scatter per-(position, head) scales. spool: [NBLK, KV, 1, BS] (one
-    layer); snew: [B, T, KV]; tables: [B, MAXBLK]; pos_vec: [B]."""
-    b, t, kv = snew.shape
+    """Scatter per-(position, head) K/V scales. spool: [NBLK, KV, 2, BS] (one
+    layer); snew: [B, T, KV, 2]; tables: [B, MAXBLK]; pos_vec: [B]."""
+    b, t, kv, _ = snew.shape
     positions = pos_vec[:, None] + jnp.arange(t)[None, :]
     blks = jnp.take_along_axis(tables, positions // block_size, axis=1)
     offs = positions % block_size
-    return spool.at[blks.reshape(-1), :, 0, offs.reshape(-1)].set(
-        snew.reshape(b * t, kv))
+    return spool.at[blks.reshape(-1), :, :, offs.reshape(-1)].set(
+        snew.reshape(b * t, kv, 2))
 
 
 def paged_write_stacked(pool, li, new, tables, pos_vec, block_size):
@@ -151,8 +147,8 @@ def paged_write_stacked(pool, li, new, tables, pos_vec, block_size):
 
 
 def paged_write_scale_stacked(spool, li, snew, tables, pos_vec, block_size):
-    """snew [B, T, KV] -> stacked scale pool [L, NBLK, KV, 1, BS] at layer li."""
-    b, t, kv = snew.shape
+    """snew [B, T, KV, 2] -> stacked scale pool [L, NBLK, KV, 2, BS] at li."""
+    b, t, kv, _ = snew.shape
     l, nblk = spool.shape[:2]
     shift = block_size.bit_length() - 1
     flat = spool.reshape((l * nblk,) + spool.shape[2:])
@@ -161,22 +157,22 @@ def paged_write_scale_stacked(spool, li, snew, tables, pos_vec, block_size):
             blk = li * nblk + tables[bi, pos_vec[bi] >> shift]
             off = pos_vec[bi] & (block_size - 1)
             flat = jax.lax.dynamic_update_slice(
-                flat, snew[bi, 0][None, :, None, None], (blk, 0, 0, off))
+                flat, snew[bi, 0][None, :, :, None], (blk, 0, 0, off))
     else:
         positions = pos_vec[:, None] + jnp.arange(t)[None, :]
         blks = jnp.take_along_axis(tables, positions >> shift, axis=1)
         offs = positions & (block_size - 1)
-        flat = flat.at[(li * nblk + blks).reshape(-1), :, 0, offs.reshape(-1)].set(
-            snew.reshape(b * t, kv))
+        flat = flat.at[(li * nblk + blks).reshape(-1), :, :, offs.reshape(-1)].set(
+            snew.reshape(b * t, kv, 2))
     return flat.reshape(spool.shape)
 
 
 def paged_gather_scale(spool, tables):
-    """Dense scale-row lane view matching paged_gather: spool [NBLK, KV, 1, BS]
-    + tables [B, MAXBLK] -> [B, KV, 1, MAXBLK*BS]."""
-    g = spool[tables]                     # [B, MAXBLK, KV, 1, BS]
-    b, mb, kv, one, bs = g.shape
-    return g.transpose(0, 2, 3, 1, 4).reshape(b, kv, 1, mb * bs)
+    """Dense scale-row lane view matching paged_gather: spool [NBLK, KV, 2, BS]
+    + tables [B, MAXBLK] -> [B, KV, 2, MAXBLK*BS]."""
+    g = spool[tables]                     # [B, MAXBLK, KV, 2, BS]
+    b, mb, kv, two, bs = g.shape
+    return g.transpose(0, 2, 3, 1, 4).reshape(b, kv, two, mb * bs)
 
 
 class BlockAllocator:

@@ -114,7 +114,7 @@ class PagedBatchEngine:
                 # interleaved chunked prefill this lane's table may already
                 # hold another request's freshly prefilled (or prefix-cache
                 # SHARED) blocks, which a stale-pos rewrite would corrupt
-                trash = jnp.int32(cache_.k_pool.shape[1] - 1)
+                trash = jnp.int32(cache_.kv_pool.shape[1] - 1)
                 tbl = jnp.where(act[:, None], tables, trash)
                 logits, cache_ = fwd(weights, tok[:, None], cache_, pos, tbl,
                                      last_logit_only=True)
@@ -271,4 +271,4 @@ class PagedBatchEngine:
         # fresh allocator: drops lane tables AND the prefix cache (pool zeroed)
         self.alloc = BlockAllocator(self.n_blocks, self.batch_size,
                                     self.max_blocks_per_lane)
-        self.cache = self._new_pool(self.cache.k_pool.dtype)
+        self.cache = self._new_pool(self.cache.kv_pool.dtype)

@@ -210,15 +210,15 @@ def phase_programs(eng, pos: int):
             REPEAT_MM)
 
     # --- decode attention (stacked-cache pallas kernel)
-    kc, vc = eng.cache.k, eng.cache.v
-    attn_bytes = int(2 * L * kv * (pos + 16) * hd * kc.dtype.itemsize)
+    kvc = eng.cache.kv  # packed [L, B, KV, S, hd+vhd]
+    attn_bytes = int(L * kv * (pos + 16) * kvc.shape[-1] * kvc.dtype.itemsize)
 
     def attn_prog(st):
-        kc_, vc_ = st["kc"], st["vc"]
+        kvc_ = st["kvc"]
 
         def attn_step(q4, li):
-            o = decode_attention_auto(q4, kc_, vc_, pos_vec,
-                                      cfg.attn_score_scale,
+            o = decode_attention_auto(q4, kvc_, pos_vec,
+                                      cfg.attn_score_scale, hd=hd,
                                       s_limit=eng.cache_len, layer_index=li)
             return (q4 + o.reshape(q4.shape) * 1e-6).astype(q4.dtype), None
 
@@ -227,7 +227,7 @@ def phase_programs(eng, pos: int):
 
     progs["attn"] = (jax.jit(attn_prog),
                      {"q4": jnp.ones((1, kv, g, hd), jnp.bfloat16) * 0.01,
-                      "kc": kc, "vc": vc}, attn_bytes,
+                      "kvc": kvc}, attn_bytes,
                      REPEAT_CHEAP)
 
     # --- glue: norms + rope (no matmuls, no writes)
@@ -253,14 +253,15 @@ def phase_programs(eng, pos: int):
                                  "cos": cos, "sin": sin}, 0,
                                 REPEAT_CHEAP)
 
-    # --- KV cache writes only
+    # --- KV cache writes only (packed: ONE dus per layer)
+    width = hd + cfg.v_head_dim
+
     def writes_step(carry, li):
-        x, kc_, vc_ = carry
-        k = x[..., : kv * hd].reshape(1, 1, kv, hd)
-        v = x[..., : kv * cfg.v_head_dim].reshape(1, 1, kv, cfg.v_head_dim)
-        kc_ = _write_rows(kc_, k.transpose(0, 2, 1, 3), li, pos_vec, None, None)
-        vc_ = _write_rows(vc_, v.transpose(0, 2, 1, 3), li, pos_vec, None, None)
-        return (x, kc_, vc_), None
+        x, kvc_ = carry
+        kvrow = x[..., : kv * width].reshape(1, 1, kv, width)
+        kvc_ = _write_rows(kvc_, kvrow.transpose(0, 2, 1, 3), li, pos_vec,
+                           None, None)
+        return (x, kvc_), None
 
     def writes_prog(carry):
         carry, _ = jax.lax.scan(writes_step, carry, li_rep_n(REPEAT_CHEAP))
@@ -268,7 +269,7 @@ def phase_programs(eng, pos: int):
 
     progs["writes"] = (jax.jit(writes_prog),
                        (jnp.ones((1, 1, cfg.dim), jnp.bfloat16),
-                        jnp.zeros_like(kc), jnp.zeros_like(vc)), 0,
+                        jnp.zeros_like(kvc)), 0,
                        REPEAT_CHEAP)
 
     # --- head: final norm + vocab matmul + argmax (once per token)

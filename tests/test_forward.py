@@ -56,7 +56,7 @@ def test_prefill_equals_sequential_decode(tmp_path):
                                     last_logit_only=True)
         seq.append(np.asarray(lg[0]))
     np.testing.assert_allclose(np.asarray(logits_pre[0]), np.stack(seq), rtol=2e-4, atol=2e-4)
-    np.testing.assert_allclose(np.asarray(cache1.k), np.asarray(cache2.k), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cache1.kv), np.asarray(cache2.kv), rtol=1e-5, atol=1e-5)
 
 
 @pytest.mark.parametrize("family", ["llama", "qwen3"])

@@ -36,9 +36,9 @@ def _quantized_cache(rng, b, kv, s, hd):
     v = rng.standard_normal((b, kv, s, hd)).astype(np.float32)
     kq, ks = quantize_kv(jnp.asarray(k))
     vq, vs = quantize_kv(jnp.asarray(v))
-    ks_row = ks[:, :, None, :]  # [B, KV, 1, S]
-    vs_row = vs[:, :, None, :]
-    return kq, vq, ks_row, vs_row
+    kvc = jnp.concatenate([kq, vq], axis=-1)    # packed [B, KV, S, 2hd]
+    sc = jnp.stack([ks, vs], axis=2)            # [B, KV, 2, S]
+    return kvc, sc
 
 
 @pytest.mark.parametrize("b,kv,g,hd,s", [(1, 2, 4, 16, 32), (2, 1, 8, 32, 64)])
@@ -46,14 +46,14 @@ def test_q_kernel_matches_dequant_reference(b, kv, g, hd, s):
     """Folding scales into the dots must equal dequantize-then-attend."""
     rng = np.random.default_rng(3)
     q = jnp.asarray(rng.standard_normal((b, kv, g, hd)), jnp.float32)
-    kq, vq, ks_row, vs_row = _quantized_cache(rng, b, kv, s, hd)
+    kvc, sc = _quantized_cache(rng, b, kv, s, hd)
     pos = jnp.asarray(rng.integers(0, s, b), jnp.int32)
     scale = 1.0 / np.sqrt(hd)
-    got = decode_attention_q(q, kq, vq, ks_row, vs_row, pos, scale,
-                             interpret=True)
-    kd = dequantize_kv(kq, ks_row)
-    vd = dequantize_kv(vq, vs_row)
-    want = decode_attention(q, kd, vd, pos, scale, interpret=True)
+    got = decode_attention_q(q, kvc, sc, pos, scale, hd=hd, interpret=True)
+    kd = dequantize_kv(kvc[..., :hd], sc[:, :, 0:1, :])
+    vd = dequantize_kv(kvc[..., hd:], sc[:, :, 1:2, :])
+    want = decode_attention(q, jnp.concatenate([kd, vd], axis=-1), pos, scale,
+                            hd=hd, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
 
@@ -62,13 +62,13 @@ def test_split_q_matches_full_q():
     rng = np.random.default_rng(5)
     b, kv, g, hd, s, tile = 2, 2, 2, 16, 128, 32
     q = jnp.asarray(rng.standard_normal((b, kv, g, hd)), jnp.float32)
-    kq, vq, ks_row, vs_row = _quantized_cache(rng, b, kv, s, hd)
+    kvc, sc = _quantized_cache(rng, b, kv, s, hd)
     scale = 1.0 / np.sqrt(hd)
     for pos_list in ([0, 31], [32, 127], [5, 100]):
         pos = jnp.asarray(pos_list, jnp.int32)
-        want = decode_attention_q(q, kq, vq, ks_row, vs_row, pos, scale,
+        want = decode_attention_q(q, kvc, sc, pos, scale, hd=hd,
                                   interpret=True)
-        got = decode_attention_split_q(q, kq, vq, ks_row, vs_row, pos, scale,
+        got = decode_attention_split_q(q, kvc, sc, pos, scale, hd=hd,
                                        s_tile=tile, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
@@ -91,7 +91,7 @@ def test_forward_int8_cache_close_to_f32(model, impl):
     toks = jnp.asarray([[3, 17, 42, 9]], jnp.int32)
     c32 = init_cache(cfg, 1, jnp.float32)
     c8 = init_cache(cfg, 1, jnp.int8)
-    assert c8.quantized and c8.k.dtype == jnp.int8
+    assert c8.quantized and c8.kv.dtype == jnp.int8
     lg32, c32 = forward_tokens(cfg, model.weights, toks, c32, 0, impl=impl)
     lg8, c8 = forward_tokens(cfg, model.weights, toks, c8, 0, impl=impl)
     # prefill logits: same activations, cache only read for in-window attention

@@ -204,26 +204,24 @@ def test_attn_tail_mega_matches_composition():
     wo, w13, w2 = rowq(d, d), rowq(o13, d), rowq(d, f)
     nw = jnp.asarray(rng.normal(0, 0.1, (Lm, d)).astype(np.float32) + 1.0)
     for p in (0, 31, 255, 256, 700, S - 1):
-        kc = jnp.asarray(rng.normal(size=(Lm, 1, KV, S, hd)), jnp.bfloat16)
-        vc = jnp.asarray(rng.normal(size=(Lm, 1, KV, S, hd)), jnp.bfloat16)
+        kvc = jnp.asarray(rng.normal(size=(Lm, 1, KV, S, 2 * hd)), jnp.bfloat16)
         q4 = jnp.asarray(rng.normal(size=(1, KV, G, hd)), jnp.bfloat16)
-        kn = jnp.asarray(rng.normal(size=(1, KV, hd)), jnp.bfloat16)
-        vn = jnp.asarray(rng.normal(size=(1, KV, hd)), jnp.bfloat16)
+        kvn = jnp.asarray(rng.normal(size=(1, KV, 2 * hd)), jnp.bfloat16)
         x = jnp.asarray(rng.normal(size=(1, 1, d)), jnp.bfloat16)
         pos = jnp.asarray([p], jnp.int32)
         li = 1
-        _, kc2, vc2 = decode_attention_fused_write(
-            q4, kn, vn, kc, vc, pos, 0.125, li, interpret=True)
-        attn = decode_attention_split(q4, kc2, vc2, pos, 0.125, s_tile=256,
+        _, kvc2 = decode_attention_fused_write(
+            q4, kvn, kvc, pos, 0.125, li, hd=hd, interpret=True)
+        attn = decode_attention_split(q4, kvc2, pos, 0.125, hd=hd, s_tile=256,
                                       interpret=True, layer_index=li)
         ref = layer_tail_fused_rowq(
             wo, w13, w2, nw, attn.reshape(1, 1, d).astype(x.dtype), x, li,
             EPS, 1.0, interpret=True)
         out = layer_attn_tail_fused_rowq(
-            wo, w13, w2, nw, q4, kn, vn, kc, vc, x, pos, li, EPS, 0.125, 1.0,
+            wo, w13, w2, nw, q4, kvn, kvc, x, pos, li, EPS, 0.125, hd, 1.0,
             interpret=True)
         assert out is not None
-        y, kc3, vc3 = out
-        assert jnp.array_equal(kc3, kc2) and jnp.array_equal(vc3, vc2)
+        y, kvc3 = out
+        assert jnp.array_equal(kvc3, kvc2)
         np.testing.assert_array_equal(np.asarray(ref, np.float32),
                                       np.asarray(y, np.float32))

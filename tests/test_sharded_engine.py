@@ -61,9 +61,9 @@ def test_sp2_matches_unsharded(model):
     got = e.generate([5, 9, 23, 41], 6).tokens
     assert got == ref
     # cache S axis is actually partitioned
-    n_sh = len(e.cache.k.addressable_shards)
+    n_sh = len(e.cache.kv.addressable_shards)
     assert n_sh == 4
-    assert e.cache.k.addressable_shards[0].data.shape[3] == e.cache.k.shape[3] // 2
+    assert e.cache.kv.addressable_shards[0].data.shape[3] == e.cache.kv.shape[3] // 2
 
 
 def test_sp2_int8_kv_matches_unsharded(model):
