@@ -66,6 +66,7 @@ def run_latency_bench(engine, *, n_requests=16, prompt_len=128, max_new=64,
 
     batcher = ContinuousBatcher(engine, stop_tokens=set(),
                                 interleave_decode_steps=interleave_decode_steps)
+    batcher.record_timeline = True
     try:
         # warm the compiled shapes
         warm = _Timed(batcher, prompt(prompt_len, 0), 8)
@@ -124,6 +125,25 @@ def run_latency_bench(engine, *, n_requests=16, prompt_len=128, max_new=64,
             "stall_during_adversary_p99_ms":
                 round(_pct(stall, 99) * 1e3, 3) if stall else None,
         }
+        # scheduler-step timeline summary: where the wall time actually went
+        # (relay dispatch RTT makes per-step costs non-obvious; r4's rows
+        # were uninterpretable without this)
+        tl = batcher.timeline
+        if tl:
+            dts = [e["dt"] for e in tl]
+            out["sched_steps"] = len(tl)
+            out["sched_total_s"] = round(sum(dts), 3)
+            out["sched_prefill_s"] = round(
+                sum(e.get("prefill_s", 0.0) for e in tl), 3)
+            out["sched_decode_s"] = round(
+                sum(e.get("decode_s", 0.0) for e in tl), 3)
+            out["sched_step_p99_ms"] = round(_pct(dts, 99) * 1e3, 1)
+            out["sched_step_max_ms"] = round(max(dts) * 1e3, 1)
+            dec = [e for e in tl if "decode_s" in e]
+            if dec:
+                out["sched_decode_ms_per_tok"] = round(
+                    sum(e["decode_s"] for e in dec)
+                    / max(1, sum(e["emitted"] for e in dec)) * 1e3, 3)
 
         # phase 3: prefix-cache warm repeat (paged engines)
         if getattr(engine, "prefix_cache", False):

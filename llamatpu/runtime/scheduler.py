@@ -116,6 +116,12 @@ class ContinuousBatcher:
         self._topps = np.zeros(self.B, np.float32)
         self._wake = threading.Event()
         self._shutdown = False
+        # optional per-step timeline (bench/serving_latency.py): each entry
+        # records where the step's wall time went — the serving-latency rows
+        # were unexplainable without this (r4: agg 81.9 tok/s vs the 880
+        # pure-decode row at the same B, adversary TTFT 23.8 s)
+        self.record_timeline = False
+        self.timeline: list[dict] = []
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -250,6 +256,9 @@ class ContinuousBatcher:
                         self._finish_lane(i, "length")
 
     def _step(self) -> None:
+        import time as _time
+
+        rec = {"t0": _time.perf_counter()} if self.record_timeline else None
         for b in range(self.B):  # consumer-side cancels free the lane here
             l = self._lanes[b]
             if l.req is not None and l.req.stream.cancelled:
@@ -257,12 +266,19 @@ class ContinuousBatcher:
         self._admit()
         prefilling = self._prefilling()
         if prefilling:
+            tp0 = _time.perf_counter()
             self._advance_prefill(prefilling[0])
+            if rec is not None:
+                rec["prefill_s"] = _time.perf_counter() - tp0
+                rec["n_prefilling"] = len(prefilling)
             prefilling = self._prefilling()
         if not self._active.any():
             if not prefilling:  # fully idle: sleep until work arrives
                 self._wake.wait(timeout=0.05)
                 self._wake.clear()
+            elif rec is not None:
+                rec["dt"] = _time.perf_counter() - rec["t0"]
+                self.timeline.append(rec)
             return
         # bound the window by the tightest remaining budget so no lane
         # overshoots (simpler than per-lane device budgets)
@@ -273,9 +289,15 @@ class ContinuousBatcher:
         limit = max(1, min(min(limits), self.engine.decode_window))
         if prefilling:  # keep TTFT bounded while a prompt is still feeding
             limit = min(limit, self.interleave_decode_steps)
+        td0 = _time.perf_counter()
         slab = self.engine.decode_window_run(
             self._tokens, self._pos, self._active, self.stop_tokens,
             self._temps, self._topps, limit=limit)
+        if rec is not None:
+            rec["decode_s"] = _time.perf_counter() - td0
+            rec["limit"] = int(limit)
+            rec["n_active"] = int(self._active.sum())
+            rec["emitted"] = int((slab >= 0).sum())
         for b in range(self.B):
             l = self._lanes[b]
             if l.req is None or not self._active[b]:
@@ -301,3 +323,8 @@ class ContinuousBatcher:
                 self._finish_lane(b, "stop")
             elif l.produced >= l.req.max_new_tokens or self._pos[b] + 2 >= self.engine.cache_len:
                 self._finish_lane(b, "length")
+        if rec is not None:
+            import time as _time
+
+            rec["dt"] = _time.perf_counter() - rec["t0"]
+            self.timeline.append(rec)
