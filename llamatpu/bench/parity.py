@@ -41,7 +41,8 @@ from __future__ import annotations
 import numpy as np
 
 VARIANTS = ("f32", "bf16", "q8_0", "q8_0-int8dot", "q8_0-kvint8",
-            "q4_0", "q4_0-pack4", "q4_k", "q4_k-pack4", "q8_row", "q8_row-a8")
+            "q4_0", "q4_0-pack4", "q4_k", "q4_k-pack4", "q5_k", "q8_row",
+            "q8_row-noeq", "q8_row-a8")
 
 # keys quantized in a real GGUF checkpoint: the dense llama graph, plus the
 # MoE routed-expert stacks and the always-on shared expert (router /
@@ -74,8 +75,11 @@ def make_variant(master, variant: str):
 
     kind = ("q8_row" if variant.startswith("q8_row")
             else "q8_0" if variant.startswith("q8_0")
+            else "q5_k" if variant.startswith("q5_k")
             else "q4_k" if variant.startswith("q4_k")
             else "q4_0" if variant.startswith("q4_0") else None)
+    # q8_row converts at the LAYERS level below (equalized fold needs the
+    # whole layer, weights.equalize_rowq_layers); conv() emits q8_0 for it
     pack4 = variant.endswith("-pack4")
     impl = ("int8" if variant == "q8_0-int8dot"
             else "xla" if kind is None else "pallas")
@@ -88,11 +92,13 @@ def make_variant(master, variant: str):
         arr = np.asarray(arr)
         if kind is None:
             return arr.astype(np.float32 if variant == "f32" else jnp.bfloat16)
-        if kind == "q8_row":  # exact load path: GGUF Q8_0 encode, then the
-            return rowq_requant(  # --rowq load-time conversion
-                prepare_qtensor(quantize_array_q8_0(arr)))
+        if kind == "q8_row":  # stage 1 of the exact load path: GGUF Q8_0
+            return prepare_qtensor(quantize_array_q8_0(arr))
+        from llamatpu.models.weights import quantize_array_q5_k
+
         q = (quantize_array_q8_0(arr) if kind == "q8_0"
              else quantize_array_q4_k(arr) if kind == "q4_k"
+             else quantize_array_q5_k(arr) if kind == "q5_k"
              else quantize_array_q4_0(arr))
         return prepare_qtensor(q, pack4=pack4)
 
@@ -101,8 +107,26 @@ def make_variant(master, variant: str):
             # routed experts convert too under --rowq (round 4: the grouped
             # kernels have a rowq variant) — conv handles every key uniformly
             lw[k] = conv(lw[k])
+    if kind == "q8_row":
+        # stage 2: the --rowq load-time conversion at the layers level —
+        # equalized fold (production default) or plain per-row requant
+        import os
+
+        from llamatpu.models.weights import equalize_rowq_layers
+
+        if variant == "q8_row-noeq":
+            os.environ["LLAMATPU_NO_ROWQ_EQ"] = "1"
+        try:
+            lw = equalize_rowq_layers(lw)
+        finally:
+            if variant == "q8_row-noeq":
+                os.environ.pop("LLAMATPU_NO_ROWQ_EQ", None)
+        for k in _MATMUL_KEYS:
+            if (k in lw and hasattr(lw[k], "kind") and lw[k].kind == "q8_0"):
+                lw[k] = rowq_requant(lw[k])
     w["layers"] = lw
-    w["wcls"] = conv(w["wcls"])
+    w["wcls"] = (rowq_requant(conv(w["wcls"])) if kind == "q8_row"
+                 else conv(w["wcls"]))
     # token embedding: real checkpoints quantize it too; the lookup reads the
     # dequantized values, so apply quantize->dequant to the dense table
     if kind is not None:
@@ -114,6 +138,49 @@ def make_variant(master, variant: str):
     model = LoadedModel(cfg=master.cfg, weights=w, metadata=dict(master.metadata),
                         family=master.family, quant_label=variant)
     return model, dict(impl=impl, dtype=cache_dtype)
+
+
+def apply_spectrum(master, spectrum: str | None, seed: int = 123):
+    """Re-draw the master's matmul weights from a REALISTIC spectrum instead
+    of the builder's plain gaussians. The r4 verdict's q8_row caveat: the
+    random-weight corpus can't say how per-row int8 scaling behaves on real
+    checkpoints, whose weight matrices have heavy tails and OUTLIER input
+    channels (the structure that stresses one-scale-per-row quantization —
+    an outlier column inflates the row amax and coarsens everything else,
+    while q8_0's per-32 blocks localize it).
+
+    spectrum "heavy": student-t(4) body matched to the builder's std + 1% of
+    input channels scaled 8x (per matrix, seeded) — the LLM.int8()/AWQ
+    outlier-channel structure. None/"random" returns the master unchanged."""
+    if spectrum in (None, "random"):
+        return master
+    assert spectrum == "heavy", spectrum
+    from llamatpu.models.loader import LoadedModel
+
+    rng = np.random.default_rng(seed)
+    w = dict(master.weights)
+    lw = dict(w["layers"])
+
+    def heavy(arr):
+        arr = np.asarray(arr)
+        out = rng.standard_t(df=4, size=arr.shape).astype(np.float32)
+        out *= float(arr.std()) / max(float(out.std()), 1e-9)
+        ncol = max(1, arr.shape[-1] // 128)
+        cols = rng.choice(arr.shape[-1], ncol, replace=False)
+        out[..., cols] *= 8.0
+        # keep the layer's effective gain close to the builder's stable
+        # scaling so the master still generates a usable corpus
+        out *= float(np.abs(arr).mean()) / max(float(np.abs(out).mean()), 1e-9)
+        return out
+
+    for k in _MATMUL_KEYS:
+        if k in lw:
+            lw[k] = heavy(lw[k])
+    w["layers"] = lw
+    w["wcls"] = heavy(w["wcls"])
+    return LoadedModel(cfg=master.cfg, weights=w,
+                       metadata=dict(master.metadata), family=master.family,
+                       quant_label=master.quant_label)
 
 
 def sample_corpus(master, n: int, seed: int = 42, prompt_len: int = 8):
@@ -135,11 +202,13 @@ def sample_corpus(master, n: int, seed: int = 42, prompt_len: int = 8):
 
 def parity_table(preset: str = "llama32-1b", corpus_len: int = 1024,
                  cache_len: int = 512, seed: int = 0,
-                 variants=VARIANTS, **overrides) -> list[dict]:
+                 variants=VARIANTS, spectrum: str | None = None,
+                 **overrides) -> list[dict]:
     from llamatpu.bench.perplexity import perplexity
 
     assert variants[0] == "f32", "the first variant anchors the deltas"
-    master = build_master(preset, seed=seed, **overrides)
+    master = apply_spectrum(build_master(preset, seed=seed, **overrides),
+                            spectrum)
     corpus = sample_corpus(master, corpus_len)
     rows = []
     base_ppl = None

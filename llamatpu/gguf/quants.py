@@ -152,6 +152,86 @@ def q4_k_views(raw: np.ndarray, n_elements: int):
             np.ascontiguousarray(offs, dtype=np.float32).reshape(-1))
 
 
+def q5_k_views(raw: np.ndarray, n_elements: int):
+    """Depack raw Q5_K superblocks into the NATIVE TPU compute layout:
+    (qs int8 [nb32, 32] values in [-16, 15], scales f32 [nb32], offs f32
+    [nb32]) such that w[j] = qs[j] * scales[block(j)] + offs[block(j)]
+    exactly equals the reference dequant (Q5_KFloatTensor.java getFloat:
+    d*sc*q - dmin*m, q in [0, 31] from nibble + qh bit): qs stores q-16 so
+    the whole Q8_0-class int8 kernel machinery applies unchanged (5-bit
+    values are just small int8s), and the additive offset absorbs the shift:
+    offs = 16*d*sc - dmin*m. The offset matmul term rides the same xbsum
+    epilogue dot as q4_k (ops/pallas_matmul.py). vs the Q8_0 requant this is
+    EXACT (single rounding at the original encode) and streams 1.0 B/w + f32
+    scale/off instead of 1.0 + block-scale + requant loss."""
+    nb = n_elements // QK_K
+    blocks = raw[: nb * 176].reshape(nb, 176)
+    d = _f16(np.ascontiguousarray(blocks[:, 0:2]).view(np.uint16).reshape(nb))
+    dmin = _f16(np.ascontiguousarray(blocks[:, 2:4]).view(np.uint16).reshape(nb))
+    sc, mn = _kquant_scales_mins(blocks[:, 4:16])
+    qh = blocks[:, 16:48]   # [nb, 32]
+    qsrc = blocks[:, 48:176]  # [nb, 128]
+    qs = np.empty((nb, QK_K), dtype=np.int8)
+    for pair in range(4):  # 64-elem pairs: low nibbles -> sub 2p, high -> 2p+1
+        chunk = qsrc[:, pair * 32 : (pair + 1) * 32]
+        lo = (chunk & 0x0F).astype(np.int16) | (((qh >> (pair * 2)) & 1).astype(np.int16) << 4)
+        hi = (chunk >> 4).astype(np.int16) | (((qh >> (pair * 2 + 1)) & 1).astype(np.int16) << 4)
+        qs[:, pair * 64 : pair * 64 + 32] = (lo - 16).astype(np.int8)
+        qs[:, pair * 64 + 32 : pair * 64 + 64] = (hi - 16).astype(np.int8)
+    scales8 = d[:, None] * sc.astype(np.float32)             # [nb, 8] per-32
+    offs8 = 16.0 * scales8 - dmin[:, None] * mn.astype(np.float32)
+    return (qs.reshape(-1, 32),
+            np.ascontiguousarray(scales8, dtype=np.float32).reshape(-1),
+            np.ascontiguousarray(offs8, dtype=np.float32).reshape(-1))
+
+
+def quantize_q5_k(values: np.ndarray) -> np.ndarray:
+    """Encode f32 values as Q5_K superblocks (ggml layout; simplified
+    single-pass scale search, see quantize_q4_k)."""
+    values = np.asarray(values, dtype=np.float32)
+    assert values.size % QK_K == 0
+    v = values.reshape(-1, 8, 32)
+    nb = v.shape[0]
+    vmax = v.max(axis=-1)
+    mins_f = np.maximum(-v.min(axis=-1), 0.0)
+    scales_f = np.maximum(vmax + mins_f, 0.0) / 31.0
+    d = scales_f.max(axis=-1) / 63.0
+    dmin = mins_f.max(axis=-1) / 63.0
+    d16 = d.astype(np.float16)
+    dmin16 = dmin.astype(np.float16)
+    df, dminf = d16.astype(np.float32), dmin16.astype(np.float32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sc = np.where(df[:, None] > 0,
+                      np.clip(np.round(scales_f / df[:, None]), 0, 63), 0
+                      ).astype(np.int32)
+        mn = np.where(dminf[:, None] > 0,
+                      np.clip(np.round(mins_f / dminf[:, None]), 0, 63), 0
+                      ).astype(np.int32)
+        eff_s = df[:, None] * sc
+        q = np.where(eff_s[..., None] > 0,
+                     np.clip(np.round(
+                         (v + (dminf[:, None] * mn)[..., None])
+                         / np.where(eff_s[..., None] > 0, eff_s[..., None], 1.0)),
+                         0, 31), 0).astype(np.uint8)
+    out = np.zeros((nb, 176), dtype=np.uint8)
+    out[:, 0:2] = d16[:, None].view(np.uint8)
+    out[:, 2:4] = dmin16[:, None].view(np.uint8)
+    for j in range(4):
+        out[:, 4 + j] = (sc[:, j] & 63) | ((sc[:, j + 4] >> 4) << 6)
+        out[:, 8 + j] = (mn[:, j] & 63) | ((mn[:, j + 4] >> 4) << 6)
+        out[:, 12 + j] = (sc[:, j + 4] & 0x0F) | ((mn[:, j + 4] & 0x0F) << 4)
+    qf = q.reshape(nb, QK_K)
+    qh = np.zeros((nb, 32), dtype=np.uint8)
+    for pair in range(4):
+        lo = qf[:, pair * 64 : pair * 64 + 32]
+        hi = qf[:, pair * 64 + 32 : pair * 64 + 64]
+        out[:, 48 + pair * 32 : 48 + (pair + 1) * 32] = (lo & 0x0F) | ((hi & 0x0F) << 4)
+        qh |= ((lo >> 4) & 1).astype(np.uint8) << (pair * 2)
+        qh |= ((hi >> 4) & 1).astype(np.uint8) << (pair * 2 + 1)
+    out[:, 16:48] = qh
+    return out.reshape(-1)
+
+
 def quantize_q4_k(values: np.ndarray) -> np.ndarray:
     """Encode f32 values as Q4_K superblocks (ggml layout; simplified
     single-pass scale search vs llama.cpp's iterative make_qkx2_quants —

@@ -135,6 +135,19 @@ def _load_matmul(reader: GGUFReader, name: str, mode: str, dtype) -> QTensor | n
             scales = np.ascontiguousarray(scales).reshape(*shape[:-1], shape[-1] // 32)
             offs = np.ascontiguousarray(offs).reshape(*shape[:-1], shape[-1] // 32)
             return QTensor(qs, scales, "q4_k", offs=offs)
+        if t == GGMLType.Q5_K:
+            # NATIVE Q5_K (round 5): values depack to small int8s (q-16) +
+            # f32 per-32 scale/offset, so the whole Q8_0-class int8 kernel
+            # set serves Q5_K checkpoints with ZERO requant loss (the old
+            # path double-rounded through Q8_0) at fewer streamed bytes
+            # (1.25 vs 1.125+requant). Reference analog: the CPU engine dots
+            # Q5_K natively (tensor/standard/Q5_KFloatTensor.java).
+            qs, scales, offs = quants.q5_k_views(
+                np.asarray(reader.tensor_raw(name), np.uint8), n)
+            qs = np.ascontiguousarray(qs).reshape(shape)
+            scales = np.ascontiguousarray(scales).reshape(*shape[:-1], shape[-1] // 32)
+            offs = np.ascontiguousarray(offs).reshape(*shape[:-1], shape[-1] // 32)
+            return QTensor(qs, scales, "q5_k", offs=offs)
         if t in (GGMLType.Q8_0, GGMLType.Q4_0):
             raw = reader.tensor_raw(name)
         else:  # other K-quants: requantize to Q8_0 (reference GPU-load parity)

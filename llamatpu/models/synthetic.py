@@ -93,11 +93,13 @@ def _rand_qtensor(rng: np.random.Generator, shape: tuple[int, ...],
     raw = np.frombuffer(rng.bytes(n), dtype=np.uint8)
     if kind in ("q4_0", "q4_k"):
         qs = ((raw & 0x0F).astype(np.int8) - 8).reshape(shape)
+    elif kind == "q5_k":
+        qs = ((raw & 0x1F).astype(np.int8) - 16).reshape(shape)
     else:
         qs = np.maximum(raw.view(np.int8), -127).reshape(shape)
     scales = (rng.random(size=(*shape[:-1], shape[-1] // 32), dtype=np.float32)
               * 0.001 + 0.0005)
-    if kind == "q4_k":  # native K-quant: per-32 additive offsets ride along
+    if kind in ("q4_k", "q5_k"):  # native K-quants: per-32 additive offsets
         offs = (rng.random(size=scales.shape, dtype=np.float32) - 0.5) * 0.002
         return QTensor(qs, scales, kind, offs=offs)
     return QTensor(qs, scales, kind)
@@ -126,7 +128,7 @@ def build_synthetic_model(preset: str, quant: str = "q8_0", seed: int = 0,
     rng = np.random.default_rng(seed)
 
     def mat(out_dim, in_dim):
-        if quant in ("q8_0", "q4_0", "q4_k"):
+        if quant in ("q8_0", "q4_0", "q4_k", "q5_k"):
             return prepare_qtensor(_rand_qtensor(rng, (cfg.n_layers, out_dim, in_dim), quant),
                                    pack4=pack4)
         return _rand_dense(rng, (cfg.n_layers, out_dim, in_dim), dtype)
@@ -155,7 +157,7 @@ def build_synthetic_model(preset: str, quant: str = "q8_0", seed: int = 0,
         # on shared expert, hidden_dim-sized, matching the loader's layout)
         def emat(out_dim, in_dim):
             shape = (cfg.n_layers, cfg.n_experts, out_dim, in_dim)
-            if quant in ("q8_0", "q4_0", "q4_k"):
+            if quant in ("q8_0", "q4_0", "q4_k", "q5_k"):
                 return prepare_qtensor(_rand_qtensor(rng, shape, quant), pack4=pack4)
             return _rand_dense(rng, shape, dtype)
 
@@ -171,7 +173,7 @@ def build_synthetic_model(preset: str, quant: str = "q8_0", seed: int = 0,
 
     cos, sin = precompute_rope_tables(cfg)
     wcls = (prepare_qtensor(_rand_qtensor(rng, (cfg.vocab_size, cfg.dim), quant), pack4=pack4)
-            if quant in ("q8_0", "q4_0", "q4_k")
+            if quant in ("q8_0", "q4_0", "q4_k", "q5_k")
             else _rand_dense(rng, (cfg.vocab_size, cfg.dim), dtype))
     weights = {
         "tok_emb": _rand_dense(rng, (cfg.vocab_size, cfg.dim), dtype),

@@ -186,6 +186,20 @@ def quantize_array_q4_k(arr: np.ndarray) -> QTensor:
                        *shape[:-1], shape[-1] // BLOCK))
 
 
+def quantize_array_q5_k(arr: np.ndarray) -> QTensor:
+    """Quantize a float array (numpy) to a NATIVE Q5_K QTensor (ggml-order
+    superblock encode -> int8 kernel layout with per-32 scales + offs)."""
+    from llamatpu.gguf import quants
+
+    raw = quants.quantize_q5_k(np.asarray(arr, dtype=np.float32).reshape(-1))
+    qs, scales, offs = quants.q5_k_views(raw, arr.size)
+    shape = tuple(arr.shape)
+    return QTensor(np.ascontiguousarray(qs).reshape(*shape[:-1], shape[-1]),
+                   np.ascontiguousarray(scales).reshape(*shape[:-1], shape[-1] // BLOCK),
+                   "q5_k", offs=np.ascontiguousarray(offs).reshape(
+                       *shape[:-1], shape[-1] // BLOCK))
+
+
 def pad_qtensor_rows(w: QTensor, multiple: int = 128) -> QTensor:
     """Zero-pad the out-features axis to a lane multiple so the Pallas matmul
     can tile it; consumers slice y[..., :logical_out] (ops/matmul.py)."""
@@ -269,6 +283,125 @@ def rowq_requant(w: QTensor) -> QTensor:
                    kind="q8_row", logical_out=w.logical_out, layout="canonical")
 
 
+def _rowq_from_f32(v: np.ndarray):
+    """[O, I] f32 -> (int8 [O, I], f32 [O, 1]) per-out-row symmetric quant
+    (same rounding as rowq_requant's inner step)."""
+    r = np.max(np.abs(v), axis=-1, keepdims=True) / 127.0
+    inv = np.where(r > 0, 1.0 / np.where(r > 0, r, 1.0), 0.0)
+    s = v * inv
+    q = np.trunc(s + np.copysign(0.5, s)).astype(np.int8)
+    return q, r.astype(np.float32)
+
+
+def _col_eq_scale(v: np.ndarray, clip: float = 4.0) -> np.ndarray:
+    """Per-input-column equalization scale: s_j = sqrt(colamax_j / gmean),
+    clipped. Dividing W's columns by s flattens outlier input channels so the
+    per-ROW amax no longer coarsens every other weight in the row."""
+    a = np.max(np.abs(v), axis=0)
+    pos = a[a > 0]
+    if pos.size == 0:
+        return np.ones_like(a)
+    g = np.exp(np.mean(np.log(pos)))
+    s = np.sqrt(np.where(a > 0, a, g) / g)
+    return np.clip(s, 1.0 / clip, clip).astype(np.float32)
+
+
+def equalize_rowq_layers(layers: dict) -> dict:
+    """EQUALIZED q8_row (exact algebra, zero runtime cost): before the
+    per-row requant, divide each matmul's input columns by an equalization
+    scale and fold the inverse into the op that produces its input —
+
+      wqkv columns  -> attn_norm rows   (x enters wqkv straight from rmsnorm)
+      w13 columns   -> ffn_norm rows
+      w2 columns    -> w13's UP rows    (act = silu(gate) * up is LINEAR in
+                                         up, so scaling up's output rows
+                                         rescales w2's input channels exactly)
+
+    Why: q8_row keeps ONE scale per output row; an outlier input channel
+    inflates the row amax and coarsens every other weight in the row. On the
+    heavy-tailed outlier-channel spectrum (bench/parity.apply_spectrum) plain
+    q8_row measured ~4x q8_0's ppl delta — this fold recovers most of it while
+    keeping the 1.0 byte/weight stream (measured: tests/test_parity_gate.py
+    llama-heavy rows + PARITY.md). alpha = 0.5 (sqrt) balances the weight-side
+    win against the activation scaling the a8 prefill path quantizes.
+    wo keeps plain rowq (its fold would scale cached V channels — int8-KV
+    interaction not worth the 5%-of-bytes tensor). SmoothQuant/AWQ are the
+    public ancestors of the trick; here it is exact (no calibration data —
+    weight-only equalization folded into existing per-channel ops).
+
+    Input: stacked layers dict — FUSED (wqkv/w13/w2 q8_0 [L, O, I]) or
+    UNFUSED (wq/wk/wv/w1/w3/w2; the parity harness scores unfused masters) —
+    plus attn_norm/ffn_norm [L, D]. Returns a new dict with the eligible
+    matmuls as q8_row QTensors and the norms scaled; non-eligible dicts
+    return unchanged."""
+    import os
+
+    fused = all(k in layers for k in ("wqkv", "w13"))
+    qkv_keys = ("wqkv",) if fused else ("wq", "wk", "wv")
+    ffn_keys = ("w13",) if fused else ("w1", "w3")
+    mm_keys = qkv_keys + ffn_keys + ("w2",)
+    need = mm_keys + ("attn_norm", "ffn_norm")
+    if os.environ.get("LLAMATPU_NO_ROWQ_EQ") or not all(k in layers for k in need):
+        return layers
+    for k in mm_keys:
+        t = layers[k]
+        if not (isinstance(t, QTensor) and t.kind == "q8_0" and t.offs is None
+                and t.layout in ("canonical", "interleaved")):
+            return layers
+    out = dict(layers)
+
+    def deq(t: QTensor, l: int) -> np.ndarray:
+        qs = np.asarray(t.qs[l])
+        if t.layout == "interleaved":
+            qs = deinterleave_columns(qs)
+        return qs.astype(np.float32) * np.repeat(np.asarray(t.scales[l]),
+                                                 BLOCK, axis=-1)
+
+    L = layers["w2"].qs.shape[0]
+    f = layers["w2"].qs.shape[-1]
+    an = np.array(np.asarray(layers["attn_norm"]), np.float32, copy=True)
+    fn = np.array(np.asarray(layers["ffn_norm"]), np.float32, copy=True)
+    parts = {k: ([], []) for k in mm_keys}
+
+    def push(k, v):
+        q, r = _rowq_from_f32(v)
+        parts[k][0].append(q)
+        parts[k][1].append(r)
+
+    for l in range(L):
+        v2 = deq(layers["w2"], l)            # [D, F]
+        s_f = _col_eq_scale(v2)
+        v2 = v2 / s_f[None, :]
+        push("w2", v2)
+        ffn = {k: deq(layers[k], l) for k in ffn_keys}
+        # up rows absorb w2's fold (act = silu(gate) * up is linear in up);
+        # apply to the LOGICAL rows only — up rows may be lane-padded past
+        # w2's in-features (pad_qtensor_rows), and padded rows are zero
+        if fused:
+            if ffn["w13"].shape[0] != 2 * f:
+                return layers  # padded fused stack: fold mapping ambiguous
+            ffn["w13"][f:] *= s_f[:, None]
+        else:
+            ffn["w3"][:f] *= s_f[:, None]
+        s_d2 = _col_eq_scale(np.concatenate(list(ffn.values()), axis=0))
+        fn[l] *= s_d2
+        for k in ffn_keys:
+            push(k, ffn[k] / s_d2[None, :])
+        qkv = {k: deq(layers[k], l) for k in qkv_keys}
+        s_d = _col_eq_scale(np.concatenate(list(qkv.values()), axis=0))
+        an[l] *= s_d
+        for k in qkv_keys:
+            push(k, qkv[k] / s_d[None, :])
+    for k in mm_keys:
+        t = layers[k]
+        out[k] = QTensor(np.stack(parts[k][0]), np.stack(parts[k][1]),
+                         kind="q8_row", logical_out=t.logical_out,
+                         layout="canonical")
+    out["attn_norm"] = an.astype(np.asarray(layers["attn_norm"]).dtype)
+    out["ffn_norm"] = fn.astype(np.asarray(layers["ffn_norm"]).dtype)
+    return out
+
+
 def rowq_convert_weights(weights: dict, experts: bool = True) -> dict:
     """Convert every dense-path Q8_0 QTensor in a (fused) weights pytree to
     q8_row — attention/FFN/shared-expert/vocab-head switch to the row-scale
@@ -278,8 +411,12 @@ def rowq_convert_weights(weights: dict, experts: bool = True) -> dict:
     skip = set() if experts else {"gate_exps", "up_exps", "gu_exps",
                                   "down_exps"}
     converted = 0
+    eq_layers = equalize_rowq_layers(weights["layers"])
+    converted += sum(1 for k in ("wqkv", "w13", "w2")
+                     if isinstance(eq_layers.get(k), QTensor)
+                     and eq_layers[k].kind == "q8_row")
     layers = {}
-    for k, v in weights["layers"].items():
+    for k, v in eq_layers.items():
         if k not in skip and isinstance(v, QTensor) and v.kind == "q8_0":
             v = rowq_requant(v)
             converted += 1

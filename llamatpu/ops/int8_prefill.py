@@ -81,8 +81,23 @@ def rowq_matmul_mxu(qs, row_scales, x2: jnp.ndarray) -> jnp.ndarray:
 def rowq_matmul(w: QTensor, x2: jnp.ndarray, li=None) -> jnp.ndarray:
     """Dispatch wrapper used by quant_matmul_pallas for q8_row tensors at
     T >= INT8_MXU_MIN_T. With `li`, w is the stacked [L, O, I] tensor and the
-    layer slice fuses into the XLA dot (no pallas copy trap)."""
+    layer slice fuses into the XLA dot (no pallas copy trap).
+
+    LLAMATPU_PALLAS_GEMM=1 routes through the blocked Pallas w8a8 GEMM
+    (ops/pallas_gemm.py — opt-in until its chip MFU A/B lands; the XLA dot
+    measured 6-9% int8-peak MFU, PERF.md prefill roofline). Bit-identical
+    epilogue either way."""
+    import os
+
     qs, s = w.qs, w.scales
+    if (os.environ.get("LLAMATPU_PALLAS_GEMM")
+            and jax.default_backend() == "tpu" and x2.ndim == 2):
+        from llamatpu.ops.pallas_gemm import rowq_gemm_pallas
+
+        xi8, ax = quantize_activation_rows(x2)
+        y = rowq_gemm_pallas(qs, s, xi8, ax, li=li)
+        if y is not None:
+            return y
     if li is not None:
         qs = qs[li]          # dynamic-slice; fuses into the dot operand
         s = s[li]

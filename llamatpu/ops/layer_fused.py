@@ -417,9 +417,9 @@ def _attn_tail_kernel(pos_ref, li_ref, q_ref, kvn_ref, kv_ref,
                       x_ref, nw_ref, wo_ref, so_ref, w13_ref, s13_ref,
                       w2_ref, s2_ref, o_ref, kvo_ref,
                       x2_ref, h_ref, g13_ref, act_ref, m_ref, l_ref, acc_ref,
-                      ao_ref, *, na, s_tile, st_shift, nwo, towo, n13, to13,
-                      n2, to2, f, d, kvh, g, hd, vhd, eps, rs, scale,
-                      dot_dtype):
+                      aflat_ref, *, na, s_tile, st_shift, nwo, towo, n13,
+                      to13, n2, to2, f, d, kvh, g, hd, vhd, vshift, eps, rs,
+                      scale, dot_dtype):
     """ONE call per layer: [attn tiles] -> wo -> w13 -> w2 (megakernel v3).
     Phase A appends this token's PACKED K/V row (write-back tile out spec,
     cache aliased) and runs online-softmax attention over pos-clamped S tiles
@@ -486,27 +486,44 @@ def _attn_tail_kernel(pos_ref, li_ref, q_ref, kvn_ref, kv_ref,
                     rel32 == pos, kvn[None, :].astype(tile.dtype), tile)
 
     @pl.when(s == na - 1)
-    def _():  # finalize: ao <- V lanes of acc/l = attention rows [KV*G, vhd]
+    def _():
+        # finalize: flatten the packed attention rows [KV*G, width] into ONE
+        # [tp, hdim] scratch row via two constant matmuls — select the V
+        # lanes AND lay head r's vhd values at lanes [r*vhd, (r+1)*vhd) with
+        # R[c, j] = [c >= hd][ (j & (vhd-1)) == c - hd ], then keep only row
+        # j >> log2(vhd) with mask D and collapse rows with u. No lane
+        # slicing, no per-row dots (the r5a per-row phase B cost ~0.9
+        # ms/layer: 32 tiny MXU dots x 8 grid steps + the lane-padded wo4
+        # view); phase B below is then EXACTLY the v2 tail's big dot.
+        nheads = acc_ref.shape[0]
         l = jnp.maximum(jnp.max(l_ref[...], axis=1, keepdims=True), 1e-38)
-        sel_l = jax.lax.broadcasted_iota(jnp.int32, (width, vhd), 0)
-        sel_j = jax.lax.broadcasted_iota(jnp.int32, (width, vhd), 1)
-        sel = (sel_l == sel_j + hd).astype(jnp.float32)  # E[l, j] = [l == hd+j]
-        ao_ref[...] = jax.lax.dot_general(
-            acc_ref[...] / l, sel,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        accn = acc_ref[...] / l                           # [KV*G, width] f32
+        hdim = aflat_ref.shape[1]
+        c_i = jax.lax.broadcasted_iota(jnp.int32, (width, hdim), 0)
+        j_i = jax.lax.broadcasted_iota(jnp.int32, (width, hdim), 1)
+        r_sel = ((c_i >= hd)
+                 & ((j_i & (vhd - 1)) == c_i - hd)).astype(jnp.float32)
+        ao_t = jax.lax.dot_general(
+            accn, r_sel, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [KV*G, hdim]
+        r_i = jax.lax.broadcasted_iota(jnp.int32, (nheads, hdim), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (nheads, hdim), 1)
+        masked = ao_t * ((jj >> vshift) == r_i).astype(jnp.float32)
+        tp_rows = aflat_ref.shape[0]
+        u = (jax.lax.broadcasted_iota(jnp.int32, (tp_rows, nheads), 0)
+             == 0).astype(jnp.float32)
+        aflat_ref[...] = jax.lax.dot_general(
+            u, masked, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(aflat_ref.dtype)
 
-    # ---- phase B: wo + residual (attention read from scratch, per-row dots)
+    # ---- phase B: wo + residual (v2-shape big dot from the aflat scratch)
     @pl.when((s >= na) & (s < na + nwo))
     def _():
         j = s - na
-        y = jnp.zeros((1, towo), jnp.float32)
-        for r in range(kvh * g):
-            a = ao_ref[r:r + 1, :].astype(dot_dtype)       # [1, vhd]
-            w = wo_ref[0, :, r, :].astype(dot_dtype)       # [towo, vhd]
-            y = y + jax.lax.dot_general(
-                a, w, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+        y = jax.lax.dot_general(
+            aflat_ref[:], wo_ref[0].astype(dot_dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
         y = y * so_ref[0][:, 0][None, :]
         if rs != 1.0:
             y = y * rs
@@ -571,7 +588,7 @@ def _attn_tail_2d(wo_qs, wo_s, w13_qs, w13_s, w2_qs, w2_s, nw, q4p, kvn,
     dot_dtype = jnp.float32 if x2.dtype == jnp.float32 else jnp.bfloat16
     li_arr = jnp.asarray(li, jnp.int32).reshape(1)
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
-    wo4 = wo_qs.reshape(L, d, kvh * g, vhd)  # free view: hdim = KV*G*vhd
+    vshift = vhd.bit_length() - 1
 
     def cl_attn(s, pp, li_):
         return jnp.minimum(jnp.minimum(s, na - 1), pp[0] >> st_shift)
@@ -586,9 +603,9 @@ def _attn_tail_2d(wo_qs, wo_s, w13_qs, w13_s, w2_qs, w2_s, nw, q4p, kvn,
                          lambda s, pp, li_: (li_[0], 0, 0, cl_attn(s, pp, li_), 0)),
             pl.BlockSpec((tp, d), lambda s, pp, li_: (0, 0)),
             pl.BlockSpec((1, 1, d), lambda s, pp, li_: (li_[0], 0, 0)),
-            pl.BlockSpec((1, towo, kvh * g, vhd),
+            pl.BlockSpec((1, towo, hdim),
                          lambda s, pp, li_: (li_[0],
-                                             jnp.clip(s - na, 0, nwo - 1), 0, 0)),
+                                             jnp.clip(s - na, 0, nwo - 1), 0)),
             pl.BlockSpec((1, towo, 1),
                          lambda s, pp, li_: (li_[0],
                                              jnp.clip(s - na, 0, nwo - 1), 0)),
@@ -620,7 +637,7 @@ def _attn_tail_2d(wo_qs, wo_s, w13_qs, w13_s, w2_qs, w2_s, nw, q4p, kvn,
             pltpu.VMEM((kvh * g, 128), jnp.float32),   # m
             pltpu.VMEM((kvh * g, 128), jnp.float32),   # l
             pltpu.VMEM((kvh * g, width), jnp.float32), # acc (packed att.kv)
-            pltpu.VMEM((kvh * g, vhd), jnp.float32),   # ao (attn out rows)
+            pltpu.VMEM((tp, hdim), dot_dtype),         # aflat (attn row, flat)
         ],
     )
     # operand order incl. scalar prefetch: pos=0 li=1 q=2 kvn=3 kvc=4 x=5
@@ -629,8 +646,8 @@ def _attn_tail_2d(wo_qs, wo_s, w13_qs, w13_s, w2_qs, w2_s, nw, q4p, kvn,
         functools.partial(_attn_tail_kernel, na=na, s_tile=s_tile,
                           st_shift=st_shift, nwo=nwo, towo=towo, n13=n13,
                           to13=to13, n2=n2, to2=to2, f=f, d=d, kvh=kvh, g=g,
-                          hd=hd, vhd=vhd, eps=eps, rs=rs, scale=scale,
-                          dot_dtype=dot_dtype),
+                          hd=hd, vhd=vhd, vshift=vshift, eps=eps, rs=rs,
+                          scale=scale, dot_dtype=dot_dtype),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((tp, d2), jnp.float32),
                    jax.ShapeDtypeStruct(kvc.shape, kvc.dtype)],
@@ -644,7 +661,7 @@ def _attn_tail_2d(wo_qs, wo_s, w13_qs, w13_s, w2_qs, w2_s, nw, q4p, kvn,
             transcendentals=kvh * g * S + tp * f,
         ),
     )(pos_arr, li_arr, q4p, kvn, kvc, x2,
-      nw.reshape(nw.shape[0], 1, d), wo4, wo_s, w13_qs, w13_s, w2_qs, w2_s)
+      nw.reshape(nw.shape[0], 1, d), wo_qs, wo_s, w13_qs, w13_s, w2_qs, w2_s)
     return (y[:t] if tp != t else y), kvc2
 
 
@@ -678,12 +695,13 @@ def _fit_attn_tail(t, d, hdim, o13, f, kvh, g, width, S, kv_itemsize,
     def need(towo_, to13_, to2_, s_tile):
         est = _tail_vmem(tp, d, hdim, o13, f, towo_, to13_, to2_, xbytes,
                          xbytes)
-        est += 2 * towo_ * kvh * g * (_lane_pad(vhd) - vhd)   # wo4 lane pad
         est += 2 * kvh * s_tile * kv_padw * kv_itemsize       # KV blocks, 2x
         est += 2 * kvh * 32 * kv_padw * kv_itemsize           # write tiles
         est += (3 * kvh * g * 128 * 4 + kvh * g * kv_padw * 4
-                + kvh * g * _lane_pad(vhd) * 4)               # m/l/acc/ao
+                + tp * hdim * xbytes)                         # m/l/acc/aflat
         est += 2 * kvh * (kv_padw + _lane_pad(vhd)) * xbytes  # q/kvn blocks
+        # finalize-step flatten temporaries (R + ao_t + masked, f32)
+        est += (kv_padw * hdim + 2 * kvh * g * hdim) * 4
         return est + _V3_STACK
 
     order = ["wo", "w2", "w13"]
@@ -730,6 +748,9 @@ def layer_attn_tail_fused_rowq(wo: QTensor, w13: QTensor, w2: QTensor,
     S = kvc.shape[-2]
     if S % 32 or kvc.dtype.itemsize == 1 or hd != vhd:
         return None
+    if vhd & (vhd - 1):
+        return None  # flatten uses & (vhd-1) / >> log2(vhd) (Mosaic: % and
+                     # // lower to ~20x software divides)
     d, hdim = wo.qs.shape[-2:]
     o13 = w13.qs.shape[-2]
     d2, f = w2.qs.shape[-2:]
