@@ -203,6 +203,7 @@ def sample_corpus(master, n: int, seed: int = 42, prompt_len: int = 8):
 def parity_table(preset: str = "llama32-1b", corpus_len: int = 1024,
                  cache_len: int = 512, seed: int = 0,
                  variants=VARIANTS, spectrum: str | None = None,
+                 force_impl: str | None = None, chunk: int = 16,
                  **overrides) -> list[dict]:
     from llamatpu.bench.perplexity import perplexity
 
@@ -223,6 +224,13 @@ def parity_table(preset: str = "llama32-1b", corpus_len: int = 1024,
         print(f"# parity {preset}: variant {v}...", file=sys.stderr, flush=True)
         _t0 = _t.time()
         model, kw = make_variant(master, v)
+        if force_impl is not None and kw.get("impl") == "pallas":
+            # escape for geometries whose pallas program the axon remote-
+            # compile service cannot build (PARITY.md MoE note): impl="xla"
+            # scores the same quantized VALUES through the dequant path —
+            # it pins format fidelity; the grouped-kernel path stays gated
+            # by the reduced-geometry CI shapes
+            kw = dict(kw, impl=force_impl)
         if v.endswith("-a8"):
             # force the int8 MXU activation-quant path at the ppl chunk width
             # (normally prefill-only, T >= INT8_MXU_MIN_T)

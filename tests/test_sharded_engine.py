@@ -288,3 +288,21 @@ def test_batch_engine_pp2_dp2_matches_unsharded(model):
                      decode_window=4, prefill_chunk=4, mesh=mesh)
     outs = be.generate_batch(prompts, 6)
     assert [list(o) for o in outs] == refs
+
+
+def test_pp2_sp2_matches_unsharded(model):
+    """sp INSIDE a pipeline stage (r5 — closed the pipeline.py sp==1
+    assert): the stage's KV stripe shards its S axis over "sp"; attention
+    combines partial softmax across the axis; generation must match the
+    unsharded engine."""
+    ref = Engine(model, cache_dtype=jnp.float32, aot_compile=False,
+                 decode_window=4).generate([5, 9, 23, 41], 6).tokens
+    mesh = make_mesh(tp=1, dp=1, pp=2, sp=2, devices=jax.devices()[:4])
+    e = Engine(model, cache_dtype=jnp.float32, aot_compile=False,
+               decode_window=4, mesh=mesh)
+    got = e.generate([5, 9, 23, 41], 6).tokens
+    assert got == ref
+    # the cache stripe is ACTUALLY sequence-sharded inside each stage
+    n_sh = len(e.cache.kv.addressable_shards)
+    assert n_sh == 4
+    assert e.cache.kv.addressable_shards[0].data.shape[3] == e.cache.kv.shape[3] // 2
