@@ -68,9 +68,19 @@ def run_latency_bench(engine, *, n_requests=16, prompt_len=128, max_new=64,
                                 interleave_decode_steps=interleave_decode_steps)
     batcher.record_timeline = True
     try:
-        # warm the compiled shapes
-        warm = _Timed(batcher, prompt(prompt_len, 0), 8)
+        # warm EVERY compiled shape the measurement will hit (r5 timeline
+        # finding: the r4 rows were compile noise — each distinct window
+        # limit / prefill-chunk shape costs 30-90 s through the relay):
+        # warm1's long prompt covers the adversary's chunk shapes and the
+        # full decode_window limit; warm2 lands DURING warm1's decode so the
+        # interleave-limited window compiles too.
+        dw = getattr(engine, "decode_window", 8)
+        warm = _Timed(batcher, prompt(adversary_prompt_len, 0), 2 * dw + 2)
+        while not warm.token_t and warm.thread.is_alive():
+            time.sleep(0.005)
+        warm2 = _Timed(batcher, prompt(prompt_len, 1), dw + 2)
         warm.join()
+        warm2.join()
 
         # phase 1: steady concurrent load
         reqs = [_Timed(batcher, prompt(prompt_len, i), max_new)

@@ -280,15 +280,27 @@ class ContinuousBatcher:
                 rec["dt"] = _time.perf_counter() - rec["t0"]
                 self.timeline.append(rec)
             return
-        # bound the window by the tightest remaining budget so no lane
-        # overshoots (simpler than per-lane device budgets)
-        limits = [self._lanes[i].req.max_new_tokens - self._lanes[i].produced
-                  for i in range(self.B) if self._active[i]]
-        if not limits:
+        # window limit QUANTIZED to a bounded program set: every distinct
+        # limit is a separate compiled program, and letting it track the
+        # tightest remaining budget compiled a fresh ~30-90s program per
+        # value mid-serving (r5 timeline: sched_step_max 145 s — the r4
+        # latency rows were compile noise, not scheduling). Budgets are now
+        # enforced HOST-SIDE when routing the slab (lanes may overshoot by
+        # < window on device; dense caches carry >= granule slack rows and
+        # paged overshoot lands in the trash block, so the extra writes are
+        # harmless by the parking invariant).
+        if not self._active.any():
             return
-        limit = max(1, min(min(limits), self.engine.decode_window))
-        if prefilling:  # keep TTFT bounded while a prompt is still feeding
-            limit = min(limit, self.interleave_decode_steps)
+        limit = (self.interleave_decode_steps if prefilling
+                 else self.engine.decode_window)
+        # near the cache end, shrink to the pow2 floor of the tightest
+        # remaining room (bounded variants: log2(window) programs, only ever
+        # compiled for requests that actually run against the cache end)
+        room = min(int(self.engine.cache_len) - 2 - int(self._pos[i])
+                   for i in range(self.B) if self._active[i])
+        while limit > 1 and limit > room:
+            limit //= 2
+        limit = max(1, limit)
         td0 = _time.perf_counter()
         slab = self.engine.decode_window_run(
             self._tokens, self._pos, self._active, self.stop_tokens,
@@ -304,6 +316,8 @@ class ContinuousBatcher:
                 continue
             col = slab[:, b]
             emitted = [int(t) for t in col[col >= 0]]
+            # host-side budget enforcement (see limit quantization above)
+            emitted = emitted[: l.req.max_new_tokens - l.produced]
             if emitted:
                 # the window fed next_tok (KV written), then every emitted
                 # token except the last (its KV write is not yet confirmed)

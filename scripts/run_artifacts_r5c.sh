@@ -20,6 +20,15 @@ fi
 step() { echo "##### $(date -u +%H:%M:%S) STEP: $* #####"; }
 hist() { while read -r l; do echo "$l" | python $H /dev/stdin; done < <(grep '^{' "$1"); }
 
+step serving-fixed  # quantized window limits + full-shape warmup: the
+                    # first compile-free serving-latency measurement
+$R 2 5400 python scripts/bench_serving.py llama32-1b q8_0r 16 \
+  > /tmp/serving_r5c.jsonl && hist /tmp/serving_r5c.jsonl
+
+step bench        # headline with megakernel v3 default-on
+$R 3 3000 python bench.py | tee /tmp/bench_r5c.json
+grep '^{' /tmp/bench_r5c.json | python $H /dev/stdin
+
 step bench-matrix  # the committed per-model artifact (BENCH_MATRIX_r5.md)
 $R 2 9000 python scripts/bench_matrix.py \
   llama32-1b:q8_0r qwen3-0.6b qwen25-1.5b phi3-mini granite-3.2-2b \
