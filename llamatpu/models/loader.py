@@ -150,7 +150,7 @@ def _load_matmul(reader: GGUFReader, name: str, mode: str, dtype) -> QTensor | n
             return QTensor(qs, scales, "q5_k", offs=offs)
         if t in (GGMLType.Q8_0, GGMLType.Q4_0):
             raw = reader.tensor_raw(name)
-        else:  # other K-quants: requantize to Q8_0 (reference GPU-load parity)
+        else:  # Q6_K: requantize to Q8_0 (native Q6_K would stream >=1.125 B/w — no byte win; Q4_K/Q5_K load native above)
             raw = quants.requantize_to_q8_0(t, reader.tensor_raw(name), info.n_elements)
             t = GGMLType.Q8_0
         if t == GGMLType.Q8_0:

@@ -58,6 +58,21 @@ def _gemm_kernel(x_ref, ax_ref, w_ref, s_ref, o_ref):
                 * ax_ref[:, 0][:, None] * s_ref[:, 0][None, :])
 
 
+def _gemm_kernel_bf16(x_ref, ax_ref, w_ref, s_ref, o_ref):
+    # diagnostic variant: cast the int8 operands to bf16 and use the bf16
+    # MXU path (half the int8 peak on paper — if this WINS, the int8 dot
+    # is not reaching the int8 MXU path in Mosaic). int8 values in
+    # [-127, 127] are exact in bf16? NO — bf16 has 8 significand bits, so
+    # |v| > 256 rounds; int8 fits exactly (|v| <= 127 < 256). Products
+    # accumulate in f32, so the result differs from the int32 path only in
+    # summation rounding.
+    acc = jax.lax.dot_general(
+        x_ref[:].astype(jnp.bfloat16), w_ref[:].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[:] = acc * ax_ref[:, 0][:, None] * s_ref[:, 0][None, :]
+
+
 def _gemm_kernel_li(li_ref, x_ref, ax_ref, w_ref, s_ref, o_ref):
     del li_ref  # feeds the index maps only
     acc = jax.lax.dot_general(
@@ -68,8 +83,10 @@ def _gemm_kernel_li(li_ref, x_ref, ax_ref, w_ref, s_ref, o_ref):
                 * ax_ref[:, 0][:, None] * s_ref[0][:, 0][None, :])
 
 
-@functools.partial(jax.jit, static_argnames=("tm", "to", "interpret"))
-def _gemm_call(qs, scales, xi8, ax, li, tm, to, interpret=False):
+@functools.partial(jax.jit, static_argnames=("tm", "to", "interpret",
+                                             "variant"))
+def _gemm_call(qs, scales, xi8, ax, li, tm, to, interpret=False,
+               variant="int8"):
     t, i = xi8.shape
     stacked = li is not None
     o = qs.shape[-2]
@@ -108,7 +125,7 @@ def _gemm_call(qs, scales, xi8, ax, li, tm, to, interpret=False):
         out_specs=pl.BlockSpec((tm, to), lambda m, n: (m, n)),
     )
     return pl.pallas_call(
-        _gemm_kernel,
+        _gemm_kernel_bf16 if variant == "bf16" else _gemm_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t, o), jnp.float32),
         interpret=interpret,
@@ -119,7 +136,8 @@ def _gemm_call(qs, scales, xi8, ax, li, tm, to, interpret=False):
     )(xi8, ax, qs, scales)
 
 
-def rowq_gemm_pallas(qs, scales, xi8, ax, li=None, interpret=None):
+def rowq_gemm_pallas(qs, scales, xi8, ax, li=None, interpret=None,
+                     variant="int8"):
     """y[T, O] f32 = (xi8 [T, I] . qs[(li,) O, I]^T)_int32 * ax[T, 1] *
     scales[(li,) O, 1] — or None when no tiling fits (caller falls back to
     the XLA dot). Bit-identical to int8_prefill.rowq_matmul_mxu's formulation
@@ -133,4 +151,5 @@ def rowq_gemm_pallas(qs, scales, xi8, ax, li=None, interpret=None):
     if tiles is None:
         return None
     tm, to = tiles
-    return _gemm_call(qs, scales, xi8, ax, li, tm, to, interpret=interpret)
+    return _gemm_call(qs, scales, xi8, ax, li, tm, to, interpret=interpret,
+                      variant=variant)

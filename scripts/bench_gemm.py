@@ -58,8 +58,17 @@ def main():
 
             return jax.lax.fori_loop(0, REP, body, jnp.float32(0))
 
+        @jax.jit
+        def pl_bf16_prog(xi8, ax, qs, sc):
+            def body(r, acc):
+                y = rowq_gemm_pallas(qs, sc, xi8, ax, variant="bf16")
+                return acc + jnp.sum(y) * 1e-30
+
+            return jax.lax.fori_loop(0, REP, body, jnp.float32(0))
+
         row = {"bench": "gemm-ab", "shape": name, "T": t, "O": o, "I": i}
-        for tag, prog in (("xla", xla_prog), ("pallas", pl_prog)):
+        for tag, prog in (("xla", xla_prog), ("pallas", pl_prog),
+                          ("pl_bf16", pl_bf16_prog)):
             r = jax.block_until_ready(prog(xi8, ax, qs, sc))
             t0 = time.perf_counter()
             r = prog(xi8, ax, qs, sc)
