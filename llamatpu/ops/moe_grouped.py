@@ -240,7 +240,15 @@ def _pick_to(o: int, i: int, wbytes: float, tm: int = 8,
     # packed4: 12.3 B of scoped VMEM per packed byte MEASURED on chip (int32
     # unpack intermediates); plain int8: <=4 (r2/r3 ran whole-O 1408x2048
     # int8 expert blocks, so Mosaic keeps the f32 dequant fused in chunks)
-    per_wbyte = 12.5 if wbytes == 0.5 else 4.0
+    # the multiplier scales with the DOT dtype: f32 activations (ppl /
+    # parity runs) dequantize weights to f32 instead of bf16, roughly
+    # doubling the fused intermediates (found via the chunk-8 MoE parity
+    # compile: est 12.4M vs actual 32.4M scoped with f32 x — the r4
+    # "compile service crash" was this OOM)
+    if wbytes == 0.5:
+        per_wbyte = 12.5 if xbytes == 2 else 20.0
+    else:
+        per_wbyte = 4.0 if xbytes == 2 else 10.0
     # `to` is ALSO the out block's LANE dim: it must be a multiple of 128 or
     # equal to the full O (Mosaic last-dim rule — to=704 of O=2816 rejected
     # on chip)

@@ -53,8 +53,6 @@ $R 2 3600 python scripts/perf_phases.py llama32-1b q8_0-rowq > /tmp/pp_fused.jso
 step sweep-tail   # w2 contraction-tiled A/B (PERF.md next-lever #1)
 $R 2 3600 python scripts/sweep_tail.py llama32-1b > /tmp/sweep_tail.json 2>/tmp/sweep_tail.log
 
-step done
-
 step serving-retry  # r4b's serving step burned its tries on the pre-fix
                     # Mosaic lowering crash; re-run with the fixed kernel
 $R 2 3600 python scripts/bench_serving.py llama32-1b q8_0r 16 \
@@ -96,8 +94,6 @@ print(json.dumps({"bench": "mega-smoke", "model": "llama32-1b",
                   "v2_tok_s": round(rates["v2"], 1),
                   "tokens_match": outs["mega"] == outs["v2"]}), flush=True)
 PYEOF
-
-step done2
 
 step longctx-probe  # 11.2 tok/s @16k is ~30x under roofline — localize:
                     # attention-only loop at depth vs the engine number
@@ -152,3 +148,5 @@ s = jax.device_get(jnp.sum(kc2[0, 0, 0, pos]))
 dt = (time.perf_counter() - t0) / REP
 print(f"writes-only 16 layers @ depth {pos}: {dt*1e3:.2f} ms/step", flush=True)
 PYEOF
+
+step done  # all steps complete (advisor r4: marker moved to the end)

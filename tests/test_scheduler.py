@@ -153,3 +153,32 @@ def test_paged_backpressure_no_overcommit(model):
     b.shutdown()
     assert out1 == ref1 and s1.finish_reason == "length"
     assert out2 == ref2 and s2.finish_reason == "length"
+
+
+def test_cache_end_window_shrink(model):
+    """A lane decoding near the cache end must shrink the quantized window
+    (pow2 floor of the remaining room) instead of overshooting the physical
+    cache, and still finish with the 'length' reason at the right count."""
+    be = BatchEngine(model, batch_size=2, cache_len=48, cache_dtype=jnp.float32,
+                     decode_window=8, prefill_chunk=16)
+    batcher = ContinuousBatcher(be, stop_tokens=set())
+    prompt = list(range(2, 40))  # 38 tokens: room for ~8 generated
+    stream = batcher.submit(BatchRequest(prompt, 64))
+    toks = list(stream)
+    batcher.shutdown()
+    assert stream.finish_reason == "length"
+    # budget capped by cache room: pos must stay inside the physical cache
+    assert 1 <= len(toks) <= 48 - len(prompt)
+
+
+def test_budget_trim_exact_under_quantized_windows(model):
+    """Host-side budget enforcement: max_new smaller than the decode window
+    must emit EXACTLY max_new tokens (device overshoot trimmed)."""
+    be = BatchEngine(model, batch_size=2, cache_dtype=jnp.float32,
+                     decode_window=8)
+    batcher = ContinuousBatcher(be, stop_tokens=set())
+    outs = [list(batcher.submit(BatchRequest([5, 9, 23], n))) for n in (3, 5, 1)]
+    batcher.shutdown()
+    assert [len(o) for o in outs] == [3, 5, 1]
+    ref = greedy_ref(model, [5, 9, 23], 5)
+    assert outs[1] == ref[:5]
