@@ -43,7 +43,11 @@ def _pick_tiles(t: int, o: int, i: int):
             need = (tm * i                      # x block (int8)
                     + 2 * (to * i + to * 4)     # w + scale blocks
                     + 2 * tm * to * 4           # out blocks
-                    + tm * 4 + 128)             # ax block
+                    + tm * 4 + 128              # ax block
+                    # bf16-cast diagnostic variant materializes bf16 copies
+                    # of both operands on the kernel stack (w2 shape OOMed
+                    # 17.37M on chip without this term)
+                    + 2 * (tm * i + to * i))
             if need <= _VMEM_BUDGET:
                 return tm, to
     return None
